@@ -1,0 +1,200 @@
+"""Typed experiment configuration.
+
+Mirrors the flag surface of the reference CLI (reference: src/arguments.py:6-144)
+as a frozen dataclass so configs are hashable, can be closed over by `jax.jit`,
+and thread through pure functions without a global namespace.
+
+Derivations performed by the reference post-parse are reproduced in
+`finalize()`: "600k" → 600000 suffix parsing (arguments.py:130-132) and the
+crop policy (image_size 100 / crop 84 for {rad, curl, pad, soda}, else 84/84;
+arguments.py:137-142).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+ALGORITHMS = (
+    "sac",
+    "rad",
+    "curl",
+    "pad",
+    "soda",
+    "drq",
+    "svea",
+    "sgsac",
+)
+
+EVAL_MODES = (
+    "train",
+    "color_easy",
+    "color_hard",
+    "video_easy",
+    "video_hard",
+    "distracting_cs",
+    "all",
+    "none",
+)
+
+DISTRACTING_CS_INTENSITIES = (0.0, 0.025, 0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5)
+
+
+def _parse_k(v) -> int:
+    """Parse "600k" → 600000 (reference: arguments.py:130-132)."""
+    if isinstance(v, int):
+        return v
+    return int(str(v).replace("k", "000"))
+
+
+@dataclass(frozen=True)
+class Config:
+    """All hyperparameters for one experiment.
+
+    Field names/defaults match the reference flags (src/arguments.py) so shell
+    scripts written against the reference CLI port over unchanged. TPU-specific
+    fields (num_envs, mesh axes, precision) are additive.
+    """
+
+    # environment
+    domain_name: str = "walker"
+    task_name: str = "walk"
+    frame_stack: int = 3
+    action_repeat: int = 4
+    episode_length: int = 1000
+    eval_mode: Optional[str] = "color_easy"
+
+    # agent
+    algorithm: str = "sgsac"
+    train_steps: int = 600_000
+    discount: float = 0.99
+    init_steps: int = 1000
+    batch_size: int = 128
+    hidden_dim: int = 1024
+
+    # actor
+    actor_lr: float = 1e-3
+    actor_beta: float = 0.9
+    actor_log_std_min: float = -10.0
+    actor_log_std_max: float = 2.0
+    actor_update_freq: int = 2
+
+    # critic
+    critic_lr: float = 1e-3
+    critic_beta: float = 0.9
+    critic_tau: float = 0.01
+    critic_target_update_freq: int = 2
+    critic_weight_decay: float = 0.0
+
+    # architecture
+    num_shared_layers: int = 11
+    num_head_layers: int = 0
+    num_filters: int = 32
+    projection_dim: int = 100
+    encoder_tau: float = 0.05
+
+    # entropy maximization
+    init_temperature: float = 0.1
+    alpha_lr: float = 1e-4
+    alpha_beta: float = 0.5
+
+    # auxiliary tasks
+    aux_lr: float = 3e-4
+    aux_beta: float = 0.9
+    aux_update_freq: int = 2
+
+    # soda
+    soda_batch_size: int = 256
+    soda_tau: float = 0.005
+
+    # svea / sgqn
+    svea_alpha: float = 0.5
+    svea_beta: float = 0.5
+    sgqn_quantile: float = 0.95
+    svea_contrastive_coeff: float = 0.1
+    svea_norm_coeff: float = 0.1
+    attrib_coeff: float = 0.25
+    consistency: int = 1
+    alpha_blending: float = 0.2
+
+    # eval
+    save_freq: int = 6_000
+    eval_freq: int = 6_000
+    eval_episodes: int = 6
+    distracting_cs_intensity: float = 0.0
+
+    # misc
+    seed: int = 10081
+    log_dir: str = "logs"
+    save_video: bool = False
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    num_envs: int = 1            # vectorized env batch per experiment
+    render_size: int = 84        # observation render resolution (pre-crop)
+    eval_render_size: int = 448  # video-recorder resolution (reference: src/video.py:12)
+    mesh_data_axis: int = 1      # data-parallel mesh extent (1 = single chip)
+    obs_dtype: str = "uint8"
+    replay_capacity: int = 0     # 0 → derived: min(train_steps, 100_000) per reference utils.py:95
+
+    # derived (set by finalize)
+    image_size: int = 84
+    image_crop_size: int = 84
+
+    def finalize(self) -> "Config":
+        """Validate and apply the reference's post-parse derivations."""
+        assert self.algorithm in ALGORITHMS, (
+            f'specified algorithm "{self.algorithm}" is not supported'
+        )
+        if self.eval_mode is not None:
+            assert self.eval_mode in EVAL_MODES, (
+                f'specified mode "{self.eval_mode}" is not supported'
+            )
+        assert self.distracting_cs_intensity in DISTRACTING_CS_INTENSITIES, (
+            f"distracting_cs has only been implemented for intensities: "
+            f"{DISTRACTING_CS_INTENSITIES}"
+        )
+        updates = {}
+        eval_mode = None if self.eval_mode == "none" else self.eval_mode
+        updates["eval_mode"] = eval_mode
+        # crop policy (reference: arguments.py:137-142)
+        if self.algorithm in {"rad", "curl", "pad", "soda"}:
+            updates["image_size"] = 100
+            updates["image_crop_size"] = 84
+        else:
+            updates["image_size"] = 84
+            updates["image_crop_size"] = 84
+        updates["render_size"] = updates["image_size"]
+        if self.replay_capacity == 0:
+            updates["replay_capacity"] = min(self.train_steps, 100_000)
+        return dataclasses.replace(self, **updates)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_INT_K_FIELDS = {"train_steps", "save_freq", "eval_freq"}
+
+
+def parse_args(argv=None) -> Config:
+    """CLI entry: same flag names as the reference (src/arguments.py)."""
+    parser = argparse.ArgumentParser()
+    for f in dataclasses.fields(Config):
+        if f.name in ("image_size", "image_crop_size"):
+            continue  # derived
+        arg = f"--{f.name}"
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(arg, default=f.default, action="store_true")
+        elif f.name in _INT_K_FIELDS:
+            parser.add_argument(arg, default=f.default, type=str)
+        elif f.name == "eval_mode":
+            parser.add_argument(arg, default=f.default, type=str)
+        else:
+            ty = type(f.default) if f.default is not None else str
+            parser.add_argument(arg, default=f.default, type=ty)
+    ns = parser.parse_args(argv)
+    kw = vars(ns)
+    for k in _INT_K_FIELDS:
+        kw[k] = _parse_k(kw[k])
+    return Config(**kw).finalize()

@@ -1,0 +1,131 @@
+"""Training/eval metrics logger.
+
+Produces the same artifacts as the reference logger (reference:
+src/logger.py:7-126): averaged JSONL rows appended to `train.log` /
+`eval.log` in the work dir, plus a colored fixed-schema console table.
+Values may be python scalars or (device) jax arrays — device transfer happens
+only here, at the logging edge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+
+try:
+    from termcolor import colored
+except ImportError:  # pragma: no cover - termcolor is tiny but optional
+    def colored(s, _color):
+        return s
+
+FORMAT_CONFIG = {
+    "rl": {
+        "train": [
+            ("episode", "E", "int"),
+            ("step", "S", "int"),
+            ("duration", "D", "time"),
+            ("episode_reward", "R", "float"),
+            ("actor_loss", "ALOSS", "float"),
+            ("critic_loss", "CLOSS", "float"),
+            ("aux_loss", "AUXLOSS", "float"),
+        ],
+        "eval": [
+            ("step", "S", "int"),
+            ("episode_reward", "ER", "float"),
+            ("episode_reward_test_env_color_hard", "ERTESTCOLOR", "float"),
+            ("episode_reward_test_env_video_easy", "ERTESTVIDEASY", "float"),
+            ("episode_reward_test_env_video_hard", "ERTESTVIDHARD", "float"),
+        ],
+    }
+}
+
+
+def _to_float(value):
+    """Pull a scalar off-device if needed."""
+    if hasattr(value, "item"):
+        return float(value.item())
+    return float(value)
+
+
+class AverageMeter:
+    def __init__(self):
+        self._sum = 0.0
+        self._count = 0
+
+    def update(self, value, n=1):
+        self._sum += value
+        self._count += n
+
+    def value(self):
+        return self._sum / max(1, self._count)
+
+
+class MetersGroup:
+    def __init__(self, file_name, formating):
+        self._file_name = file_name
+        self._formating = formating
+        self._meters = defaultdict(AverageMeter)
+
+    def log(self, key, value, n=1):
+        self._meters[key].update(value, n)
+
+    def _prime_meters(self):
+        data = {}
+        for key, meter in self._meters.items():
+            # strip the "train/" / "eval/" prefix, flatten the rest
+            key = key.split("/", 1)[1] if "/" in key else key
+            data[key.replace("/", "_")] = meter.value()
+        return data
+
+    def _format(self, key, value, ty):
+        if ty == "int":
+            return f"{key}: {int(value)}"
+        if ty == "float":
+            return f"{key}: {value:.04f}"
+        if ty == "time":
+            return f"{key}: {value:.01f} s"
+        raise ValueError(f"invalid format type: {ty}")
+
+    def _dump_to_console(self, data, prefix):
+        prefix_c = colored(prefix, "yellow" if prefix == "train" else "green")
+        pieces = [f"{prefix_c:5}"]
+        for key, disp_key, ty in self._formating:
+            pieces.append(self._format(disp_key, data.get(key, 0), ty))
+        print("| " + " | ".join(pieces))
+
+    def dump(self, step, prefix):
+        if not self._meters:
+            return
+        data = self._prime_meters()
+        data["step"] = step
+        with open(self._file_name, "a") as f:
+            f.write(json.dumps(data) + "\n")
+        self._dump_to_console(data, prefix)
+        self._meters.clear()
+
+
+class Logger:
+    """Two meter groups (train/eval) keyed by the metric-name prefix."""
+
+    def __init__(self, log_dir, config="rl"):
+        self._log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        fmt = FORMAT_CONFIG[config]
+        self._train_mg = MetersGroup(os.path.join(log_dir, "train.log"), fmt["train"])
+        self._eval_mg = MetersGroup(os.path.join(log_dir, "eval.log"), fmt["eval"])
+
+    def log(self, key, value, step, n=1):
+        assert key.startswith("train") or key.startswith("eval"), key
+        value = _to_float(value)
+        mg = self._train_mg if key.startswith("train") else self._eval_mg
+        mg.log(key, value, n)
+
+    def log_dict(self, metrics: dict, step: int, prefix: str = "train"):
+        """Convenience: log a jitted update's metrics pytree in one call."""
+        for k, v in metrics.items():
+            self.log(f"{prefix}/{k}" if "/" not in k else k, v, step)
+
+    def dump(self, step):
+        self._train_mg.dump(step, "train")
+        self._eval_mg.dump(step, "eval")
