@@ -1,0 +1,469 @@
+"""Physics model representation + programmatic builder.
+
+Replaces the reference's MuJoCo C model (`libmujoco200.so` reached via
+generated ctypes bindings, reference: src/env/dm_control/dm_control/mujoco/
+wrapper/util.py:114-127) with a host-built, device-friendly description:
+
+  * build time (numpy, host): a `ModelBuilder` DSL mirrors MJCF nesting —
+    bodies with joints and geoms — and expands every multi-joint body into a
+    chain of single-DoF *links* (zero-mass virtual links carry the extra
+    joints), producing a topologically sorted tree that the engine unrolls
+    statically under `jit`;
+  * run time: `Model` holds small numpy/jnp arrays that jitted step functions
+    close over as constants. Per-episode mutable appearance (material colors,
+    camera pose — what the reference mutates by re-writing MJCF XML,
+    reference: src/env/wrappers.py:89-139 and suite/common/settings.py:15-79)
+    lives in env state instead, never in the model.
+
+Mass/COM/inertia are derived from geoms (density 1000 unless mass given),
+matching MuJoCo's compiler defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from sgqn_carla_tpu.physics.math3d import zaxis_to_quat_np
+
+# geom types
+PLANE, SPHERE, CAPSULE, BOX, CYLINDER, ELLIPSOID = 0, 1, 2, 3, 4, 5
+# joint types
+HINGE, SLIDE = 0, 1
+
+_DENSITY = 1000.0
+
+
+def _quat_to_mat_np(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _euler_deg_to_quat_np(euler):
+    """MuJoCo 'euler' attribute: extrinsic x-y-z rotations, degrees."""
+    def axis_quat(axis, deg):
+        a = np.deg2rad(deg) / 2
+        q = np.zeros(4)
+        q[0] = np.cos(a)
+        q[1 + axis] = np.sin(a)
+        return q
+
+    def qmul(a, b):
+        aw, ax, ay, az = a
+        bw, bx, by, bz = b
+        return np.array(
+            [
+                aw * bw - ax * bx - ay * by - az * bz,
+                aw * bx + ax * bw + ay * bz - az * by,
+                aw * by - ax * bz + ay * bw + az * bx,
+                aw * bz + ax * by - ay * bx + az * bw,
+            ]
+        )
+
+    q = np.array([1.0, 0, 0, 0])
+    for axis in range(3):
+        q = qmul(axis_quat(axis, euler[axis]), q)
+    return q
+
+
+def _geom_mass_com_inertia(gtype, size, pos, quat, mass=None):
+    """Mass, COM (geom frame origin = `pos`), rotational inertia about COM in
+    the *body* frame, for one geom. MuJoCo-compatible formulas."""
+    if gtype == SPHERE:
+        r = size[0]
+        vol = 4 / 3 * np.pi * r**3
+        m = mass if mass is not None else _DENSITY * vol
+        i = 2 / 5 * m * r**2
+        I_local = np.diag([i, i, i])
+    elif gtype == CAPSULE:
+        r, hl = size[0], size[1]
+        vc = np.pi * r**2 * (2 * hl)
+        vs = 4 / 3 * np.pi * r**3
+        vol = vc + vs
+        m = mass if mass is not None else _DENSITY * vol
+        mc = m * vc / vol  # cylinder portion
+        ms = m * vs / vol  # two hemispheres
+        # cylinder about its COM, axis z
+        izz_c = 0.5 * mc * r**2
+        ixx_c = mc * (r**2 / 4 + (2 * hl) ** 2 / 12)
+        # hemispheres: each at distance hl + 3r/8 from center along z
+        izz_s = 2 / 5 * ms * r**2
+        d = hl + 3 * r / 8
+        ixx_s = 2 / 5 * ms * r**2 + ms * (d**2 - (3 * r / 8) ** 2) + ms * (3 * r / 8) ** 2
+        # (parallel-axis from hemisphere COM; standard capsule formula)
+        ixx_s = ms * (83 / 320 * r**2 + (hl + 3 * r / 8) ** 2)
+        I_local = np.diag([ixx_c + ixx_s, ixx_c + ixx_s, izz_c + izz_s])
+    elif gtype == BOX:
+        sx, sy, sz = size  # half-sizes
+        vol = 8 * sx * sy * sz
+        m = mass if mass is not None else _DENSITY * vol
+        I_local = np.diag(
+            [
+                m / 3 * (sy**2 + sz**2),
+                m / 3 * (sx**2 + sz**2),
+                m / 3 * (sx**2 + sy**2),
+            ]
+        )
+    elif gtype == CYLINDER:
+        r, hl = size[0], size[1]
+        vol = np.pi * r**2 * 2 * hl
+        m = mass if mass is not None else _DENSITY * vol
+        I_local = np.diag(
+            [
+                m * (r**2 / 4 + hl**2 / 3),
+                m * (r**2 / 4 + hl**2 / 3),
+                0.5 * m * r**2,
+            ]
+        )
+    elif gtype == ELLIPSOID:
+        a, b, c = size
+        vol = 4 / 3 * np.pi * a * b * c
+        m = mass if mass is not None else _DENSITY * vol
+        I_local = m / 5 * np.diag([b**2 + c**2, a**2 + c**2, a**2 + b**2])
+    else:  # PLANE — massless
+        return 0.0, pos, np.zeros((3, 3))
+    R = _quat_to_mat_np(quat)
+    return m, np.asarray(pos, np.float64), R @ I_local @ R.T
+
+
+@dataclass
+class GeomSpec:
+    gtype: int
+    size: np.ndarray
+    pos: np.ndarray
+    quat: np.ndarray
+    rgba: np.ndarray
+    name: str = ""
+    material: str = "self"      # material id for the renderer: self/grid/decoration/target/site/effector
+    contype: int = 1
+    conaffinity: int = 0
+    friction: float = 0.7       # sliding friction coefficient
+    mass: Optional[float] = None
+    group: int = 0              # >2 → not rendered (MuJoCo visual convention)
+    link: int = -1              # filled at build
+
+
+@dataclass
+class JointSpec:
+    jtype: int
+    axis: np.ndarray
+    pos: np.ndarray
+    damping: float = 0.0
+    armature: float = 0.0
+    stiffness: float = 0.0
+    springref: float = 0.0
+    limited: bool = False
+    range: Tuple[float, float] = (0.0, 0.0)
+    name: str = ""
+
+
+@dataclass
+class CameraSpec:
+    name: str
+    pos: np.ndarray
+    quat: np.ndarray
+    mode: str = "fixed"        # fixed | trackcom | targetbody
+    fovy: float = 45.0
+    target_body: int = -1
+
+
+@dataclass
+class _BodySpec:
+    parent: int
+    pos: np.ndarray
+    quat: np.ndarray
+    joints: List[JointSpec]
+    geoms: List[GeomSpec]
+    name: str
+
+
+class ModelBuilder:
+    """Author a model the MJCF way, but in python (no XML on the hot path)."""
+
+    def __init__(self, timestep=0.0025, gravity=(0, 0, -9.81), integrator="euler"):
+        self.timestep = timestep
+        self.gravity = np.asarray(gravity, np.float64)
+        self.integrator = integrator
+        self.bodies: List[_BodySpec] = [
+            _BodySpec(-1, np.zeros(3), np.array([1.0, 0, 0, 0]), [], [], "world")
+        ]
+        self.cameras: List[CameraSpec] = []
+        self.actuator_joint: List[str] = []
+        self.actuator_gear: List[float] = []
+        self.contact_solref = (0.02, 1.0)
+
+    # -- authoring -----------------------------------------------------------
+    def add_body(self, parent: int, pos=(0, 0, 0), quat=None, euler_deg=None,
+                 name="") -> int:
+        if quat is None:
+            quat = (
+                _euler_deg_to_quat_np(euler_deg)
+                if euler_deg is not None
+                else np.array([1.0, 0, 0, 0])
+            )
+        self.bodies.append(
+            _BodySpec(parent, np.asarray(pos, np.float64), np.asarray(quat, np.float64),
+                      [], [], name or f"body{len(self.bodies)}")
+        )
+        return len(self.bodies) - 1
+
+    def add_joint(self, body: int, jtype, axis=(0, 0, 1), pos=(0, 0, 0),
+                  damping=0.0, armature=0.0, stiffness=0.0, springref=0.0,
+                  limited=False, range=(0.0, 0.0), name=""):
+        self.bodies[body].joints.append(
+            JointSpec(jtype, np.asarray(axis, np.float64), np.asarray(pos, np.float64),
+                      damping, armature, stiffness, springref, limited,
+                      tuple(range), name)
+        )
+
+    def add_geom(self, body: int, gtype, size, pos=(0, 0, 0), quat=None,
+                 zaxis=None, fromto=None, rgba=(0.5, 0.5, 0.5, 1), name="",
+                 material="self", contype=1, conaffinity=0, friction=0.7,
+                 mass=None, group=0):
+        size = np.asarray(np.broadcast_to(np.asarray(size, np.float64), (3,))
+                          if np.asarray(size).ndim == 0 else size, np.float64)
+        if size.shape[0] < 3:
+            size = np.concatenate([size, np.zeros(3 - size.shape[0])])
+        if fromto is not None:
+            a, b = np.asarray(fromto[:3], np.float64), np.asarray(fromto[3:], np.float64)
+            pos = (a + b) / 2
+            d = b - a
+            hl = np.linalg.norm(d) / 2
+            quat = zaxis_to_quat_np(d)
+            size = np.array([size[0], hl, 0.0])
+        elif zaxis is not None:
+            quat = zaxis_to_quat_np(zaxis)
+        elif quat is None:
+            quat = np.array([1.0, 0, 0, 0])
+        self.bodies[body].geoms.append(
+            GeomSpec(gtype, size, np.asarray(pos, np.float64),
+                     np.asarray(quat, np.float64), np.asarray(rgba, np.float64),
+                     name, material, contype, conaffinity, friction, mass, group)
+        )
+
+    def add_camera(self, name, pos, quat=None, euler_deg=None, xyaxes=None,
+                   zaxis=None, mode="fixed", fovy=45.0, target_body=-1):
+        if euler_deg is not None:
+            quat = _euler_deg_to_quat_np(euler_deg)
+        elif xyaxes is not None:
+            x = np.asarray(xyaxes[:3], np.float64)
+            y = np.asarray(xyaxes[3:], np.float64)
+            x /= np.linalg.norm(x)
+            y = y - x * (y @ x)
+            y /= np.linalg.norm(y)
+            z = np.cross(x, y)
+            R = np.stack([x, y, z], axis=1)
+            quat = _mat_to_quat_np(R)
+        elif zaxis is not None:
+            # camera looks along -z; zaxis gives the camera z axis direction
+            quat = zaxis_to_quat_np(zaxis)
+        elif quat is None:
+            quat = np.array([1.0, 0, 0, 0])
+        self.cameras.append(
+            CameraSpec(name, np.asarray(pos, np.float64), np.asarray(quat, np.float64),
+                       mode, fovy, target_body)
+        )
+
+    def add_actuator(self, joint_name: str, gear: float):
+        self.actuator_joint.append(joint_name)
+        self.actuator_gear.append(gear)
+
+    # -- compilation ---------------------------------------------------------
+    def finalize(self) -> "Model":
+        """Expand multi-joint bodies into single-DoF link chains and pack."""
+        nl = 0
+        link_parent, link_pos, link_quat = [], [], []
+        link_jtype, link_jaxis, link_jpos = [], [], []
+        link_damping, link_armature, link_stiffness, link_springref = [], [], [], []
+        link_limited, link_range = [], []
+        link_mass, link_com, link_inertia = [], [], []
+        joint_names = []
+        body_to_link = {0: -1}  # world
+        geoms: List[GeomSpec] = []
+        body_first_dof = {}
+
+        for bi, body in enumerate(self.bodies):
+            if bi == 0:
+                for g in body.geoms:
+                    g = dataclasses.replace(g, link=-1)
+                    geoms.append(g)
+                continue
+            parent_link = body_to_link[body.parent]
+            joints = body.joints
+            if not joints:
+                # weld: a fixed body — represent as zero-DoF by merging geoms
+                # into the parent link (adjusting frames). Rare in our domains;
+                # implemented as a chain of zero links is not needed.
+                raise NotImplementedError(
+                    "fixed (jointless) bodies: attach geoms to parent instead"
+                )
+            # aggregate inertia of this body's geoms (body frame)
+            m_tot, com, I_tot = 0.0, np.zeros(3), np.zeros((3, 3))
+            for g in body.geoms:
+                m, c, I = _geom_mass_com_inertia(g.gtype, g.size, g.pos, g.quat, g.mass)
+                m_tot += m
+                com = com + m * c
+            com = com / max(m_tot, 1e-12)
+            for g in body.geoms:
+                m, c, I = _geom_mass_com_inertia(g.gtype, g.size, g.pos, g.quat, g.mass)
+                d = c - com
+                I_tot = I_tot + I + m * ((d @ d) * np.eye(3) - np.outer(d, d))
+
+            body_first_dof[bi] = nl
+            for ji, j in enumerate(joints):
+                link_parent.append(parent_link if ji == 0 else nl - 1)
+                link_pos.append(body.pos if ji == 0 else np.zeros(3))
+                link_quat.append(body.quat if ji == 0 else np.array([1.0, 0, 0, 0]))
+                link_jtype.append(j.jtype)
+                link_jaxis.append(j.axis / np.linalg.norm(j.axis))
+                link_jpos.append(j.pos)
+                link_damping.append(j.damping)
+                link_armature.append(j.armature)
+                link_stiffness.append(j.stiffness)
+                link_springref.append(j.springref)
+                link_limited.append(j.limited)
+                link_range.append(j.range)
+                joint_names.append(j.name or f"{body.name}_j{ji}")
+                last = ji == len(joints) - 1
+                link_mass.append(m_tot if last else 0.0)
+                link_com.append(com if last else np.zeros(3))
+                link_inertia.append(I_tot if last else np.zeros((3, 3)))
+                nl += 1
+            body_to_link[bi] = nl - 1
+            for g in body.geoms:
+                g = dataclasses.replace(g, link=nl - 1)
+                geoms.append(g)
+
+        # actuators
+        act_dof = [joint_names.index(n) for n in self.actuator_joint]
+
+        # contact pairs: (i, j) if contype/conaffinity match, different links,
+        # and not a parent-child link pair (MuJoCo default exclusion)
+        pairs = []
+        for i in range(len(geoms)):
+            for j in range(i + 1, len(geoms)):
+                gi, gj = geoms[i], geoms[j]
+                compat = (gi.contype & gj.conaffinity) or (gj.contype & gi.conaffinity)
+                if not compat:
+                    continue
+                if gi.link == gj.link:
+                    continue
+                # parent-child exclusion (MuJoCo default); the world body is
+                # exempt, so floor contacts with root bodies survive
+                li, lj = gi.link, gj.link
+                if li >= 0 and lj >= 0 and link_parent[li] == lj:
+                    continue
+                if lj >= 0 and li >= 0 and link_parent[lj] == li:
+                    continue
+                pairs.append((i, j))
+
+        cameras = list(self.cameras)
+        target_map = {"trackcom": 0}
+        model = Model(
+            nl=nl,
+            nu=len(act_dof),
+            timestep=self.timestep,
+            integrator=self.integrator,
+            gravity=self.gravity,
+            link_parent=np.asarray(link_parent, np.int32),
+            link_pos=np.asarray(link_pos, np.float64),
+            link_quat=np.asarray(link_quat, np.float64),
+            jnt_type=np.asarray(link_jtype, np.int32),
+            jnt_axis=np.asarray(link_jaxis, np.float64),
+            jnt_pos=np.asarray(link_jpos, np.float64),
+            jnt_damping=np.asarray(link_damping, np.float64),
+            jnt_armature=np.asarray(link_armature, np.float64),
+            jnt_stiffness=np.asarray(link_stiffness, np.float64),
+            jnt_springref=np.asarray(link_springref, np.float64),
+            jnt_limited=np.asarray(link_limited, bool),
+            jnt_range=np.asarray(link_range, np.float64),
+            link_mass=np.asarray(link_mass, np.float64),
+            link_com=np.asarray(link_com, np.float64),
+            link_inertia=np.asarray(link_inertia, np.float64),
+            act_dof=np.asarray(act_dof, np.int32),
+            act_gear=np.asarray(self.actuator_gear, np.float64),
+            geoms=geoms,
+            contact_pairs=np.asarray(pairs, np.int32).reshape(-1, 2),
+            cameras=cameras,
+            joint_names=joint_names,
+            body_names=[b.name for b in self.bodies],
+        )
+        return model
+
+
+def _mat_to_quat_np(R):
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1) * 2
+        return np.array(
+            [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+        )
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+@dataclass
+class Model:
+    """Compiled model. Numeric arrays are numpy; jitted fns close over them
+    (they become XLA constants — tiny). Static topology drives trace-time
+    loop unrolling in the engine."""
+
+    nl: int
+    nu: int
+    timestep: float
+    integrator: str
+    gravity: np.ndarray
+    link_parent: np.ndarray
+    link_pos: np.ndarray
+    link_quat: np.ndarray
+    jnt_type: np.ndarray
+    jnt_axis: np.ndarray
+    jnt_pos: np.ndarray
+    jnt_damping: np.ndarray
+    jnt_armature: np.ndarray
+    jnt_stiffness: np.ndarray
+    jnt_springref: np.ndarray
+    jnt_limited: np.ndarray
+    jnt_range: np.ndarray
+    link_mass: np.ndarray
+    link_com: np.ndarray
+    link_inertia: np.ndarray
+    act_dof: np.ndarray
+    act_gear: np.ndarray
+    geoms: List[GeomSpec]
+    contact_pairs: np.ndarray
+    cameras: List[CameraSpec]
+    joint_names: List[str]
+    body_names: List[str]
+    # contact penalty parameters (spring-damper; see engine.contact_forces)
+    contact_stiffness: float = 2e4
+    contact_damping: float = 200.0
+    limit_stiffness: float = 300.0
+    limit_damping: float = 2.0
+
+    @property
+    def nv(self) -> int:
+        return self.nl
+
+    def joint_id(self, name: str) -> int:
+        return self.joint_names.index(name)
+
+    def replace(self, **kw) -> "Model":
+        return dataclasses.replace(self, **kw)
