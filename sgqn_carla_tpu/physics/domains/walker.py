@@ -70,9 +70,9 @@ def make_model():
     # "side" camera: pos (0,-2,.7), euler 60° about x, trackcom
     # (reference: suite/walker.xml:25)
     b.add_camera("side", pos=(0, -2, 0.7), euler_deg=(60, 0, 0), mode="trackcom",
-                 fovy=45.0)
+                 fovy=45.0, body=torso)
     b.add_camera("back", pos=(-2, 0, 0.5), xyaxes=(0, -1, 0, 1, 0, 3),
-                 mode="trackcom", fovy=45.0)
+                 mode="trackcom", fovy=45.0, body=torso)
     for side in ("right", "left"):
         b.add_actuator(f"{side}_hip", gear=100.0)
         b.add_actuator(f"{side}_knee", gear=50.0)

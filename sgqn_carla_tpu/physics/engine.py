@@ -380,6 +380,22 @@ def n_steps(model: Model, qpos, qvel, ctrl, n: int) -> StepOut:
 
 
 # ------------------------------------------------------------------ sensors
+def subtree_com(model: Model, kin: Kin, root_dof: int) -> jnp.ndarray:
+    """Mass-weighted COM position of the subtree rooted at link `root_dof`."""
+    anc = _ancestors(model)
+    total_m = 0.0
+    s = jnp.zeros(3, dtype=kin.R.dtype)
+    for i in range(model.nl):
+        if not anc[i, root_dof]:
+            continue
+        mi = float(model.link_mass[i])
+        if mi == 0.0:
+            continue
+        s = s + mi * kin.com[i]
+        total_m += mi
+    return s / max(total_m, 1e-12)
+
+
 def subtree_linvel(model: Model, kin: Kin, root_dof: int) -> jnp.ndarray:
     """Mass-weighted COM velocity of the subtree rooted at link `root_dof`
     (MuJoCo `subtreelinvel` sensor, used by walker/cheetah speed)."""

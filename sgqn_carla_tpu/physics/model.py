@@ -169,11 +169,15 @@ class JointSpec:
 @dataclass
 class CameraSpec:
     name: str
-    pos: np.ndarray
+    pos: np.ndarray            # local, in owning body frame
     quat: np.ndarray
     mode: str = "fixed"        # fixed | trackcom | targetbody
     fovy: float = 45.0
     target_body: int = -1
+    body: int = 0              # owning body (worldbody by default)
+    # resolved at finalize (world pose at qpos0, used by trackcom offset):
+    pos0: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    R0: np.ndarray = field(default_factory=lambda: np.eye(3))
 
 
 @dataclass
@@ -251,7 +255,7 @@ class ModelBuilder:
         )
 
     def add_camera(self, name, pos, quat=None, euler_deg=None, xyaxes=None,
-                   zaxis=None, mode="fixed", fovy=45.0, target_body=-1):
+                   zaxis=None, mode="fixed", fovy=45.0, target_body=-1, body=0):
         if euler_deg is not None:
             quat = _euler_deg_to_quat_np(euler_deg)
         elif xyaxes is not None:
@@ -270,7 +274,7 @@ class ModelBuilder:
             quat = np.array([1.0, 0, 0, 0])
         self.cameras.append(
             CameraSpec(name, np.asarray(pos, np.float64), np.asarray(quat, np.float64),
-                       mode, fovy, target_body)
+                       mode, fovy, target_body, body)
         )
 
     def add_actuator(self, joint_name: str, gear: float):
@@ -366,8 +370,38 @@ class ModelBuilder:
                     continue
                 pairs.append((i, j))
 
-        cameras = list(self.cameras)
-        target_map = {"trackcom": 0}
+        # world link poses at qpos0 (joint transforms are identity there)
+        R0 = np.zeros((nl, 3, 3))
+        p0 = np.zeros((nl, 3))
+        for i in range(nl):
+            par = link_parent[i]
+            Rp = np.eye(3) if par < 0 else R0[par]
+            pp = np.zeros(3) if par < 0 else p0[par]
+            R0[i] = Rp @ _quat_to_mat_np(link_quat[i])
+            p0[i] = pp + Rp @ link_pos[i]
+        masses = np.asarray(link_mass)
+        total_mass = masses.sum()
+        com0 = (
+            (masses[:, None] * (p0 + np.einsum("nij,nj->ni", R0, np.asarray(link_com)))
+             ).sum(0) / max(total_mass, 1e-12)
+        )
+
+        # resolve cameras: world pose at qpos0 + link-index remapping
+        cameras = []
+        for c in self.cameras:
+            bl = body_to_link.get(c.body, -1)
+            Rb = np.eye(3) if bl < 0 else R0[bl]
+            pb = np.zeros(3) if bl < 0 else p0[bl]
+            cameras.append(
+                dataclasses.replace(
+                    c,
+                    pos0=pb + Rb @ c.pos,
+                    R0=Rb @ _quat_to_mat_np(c.quat),
+                    body=bl,
+                    target_body=body_to_link.get(c.target_body, -1)
+                    if c.target_body >= 0 else -1,
+                )
+            )
         model = Model(
             nl=nl,
             nu=len(act_dof),
@@ -396,6 +430,7 @@ class ModelBuilder:
             cameras=cameras,
             joint_names=joint_names,
             body_names=[b.name for b in self.bodies],
+            com0=com0,
         )
         return model
 
@@ -452,6 +487,7 @@ class Model:
     cameras: List[CameraSpec]
     joint_names: List[str]
     body_names: List[str]
+    com0: np.ndarray = field(default_factory=lambda: np.zeros(3))
     # contact penalty parameters (spring-damper; see engine.contact_forces)
     contact_stiffness: float = 2e4
     contact_damping: float = 200.0
