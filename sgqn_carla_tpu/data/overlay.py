@@ -1,0 +1,73 @@
+"""Overlay image pool for random_overlay / attribution_augmentation.
+
+The reference streams Places365 through a torch DataLoader with 8 workers
+(reference: src/augmentations.py:17-62) or samples saved CARLA frames
+(augmentations.py:65-76). Here the pool is a device-resident tensor sampled
+inside the jitted update — no host round-trip per batch. Default content is
+procedurally synthesized natural-image-like fields (multi-scale colored
+noise + random shapes); `load_external` swaps in real data (.npy) when a
+dataset directory is configured.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DEFAULT_POOL = 256
+
+
+def synth_images(num: int, height: int = 84, width: int = 84,
+                 seed: int = 0) -> np.ndarray:
+    """(N, 3, H, W) float32 in [0, 1]: multi-scale noise + random boxes."""
+    rng = np.random.RandomState(seed)
+    out = np.zeros((num, 3, height, width), np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    yy /= height
+    xx /= width
+    for i in range(num):
+        img = np.zeros((height, width, 3), np.float32)
+        # low-frequency color field
+        for c in range(3):
+            k1, k2 = rng.uniform(-3, 3, 2) * 2 * np.pi
+            ph = rng.uniform(0, 2 * np.pi)
+            img[..., c] = 0.5 + 0.4 * np.sin(k1 * xx + k2 * yy + ph)
+        # random rectangles / "objects"
+        for _ in range(rng.randint(3, 9)):
+            x0, y0 = rng.randint(0, width - 6), rng.randint(0, height - 6)
+            w = rng.randint(4, width // 2)
+            h = rng.randint(4, height // 2)
+            color = rng.uniform(0, 1, 3)
+            img[y0:y0 + h, x0:x0 + w] = (
+                0.5 * img[y0:y0 + h, x0:x0 + w] + 0.5 * color
+            )
+        # grain
+        img += rng.normal(0, 0.05, img.shape)
+        out[i] = np.clip(img, 0, 1).transpose(2, 0, 1)
+    return out
+
+
+def load_external(path: str, height: int, width: int):
+    if not path or not os.path.isdir(path):
+        return None
+    files = sorted(f for f in os.listdir(path) if f.endswith(".npy"))
+    if not files:
+        return None
+    imgs = []
+    for fn in files[:2048]:
+        a = np.load(os.path.join(path, fn)).astype(np.float32)
+        if a.max() > 1.5:
+            a = a / 255.0
+        if a.shape[0] != 3:
+            a = a.transpose(2, 0, 1)
+        imgs.append(a[:, :height, :width])
+    return np.stack(imgs)
+
+
+def get_overlay_pool(height: int = 84, width: int = 84, seed: int = 0,
+                     external_dir: str = "", num: int = DEFAULT_POOL) -> np.ndarray:
+    ext = load_external(external_dir, height, width)
+    if ext is not None:
+        return ext
+    return synth_images(num, height, width, seed)

@@ -1,0 +1,153 @@
+"""Replay buffer + augmentation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgqn_carla_tpu.data.overlay import get_overlay_pool
+from sgqn_carla_tpu.data.replay import ReplayBuffer
+from sgqn_carla_tpu.ops import augment
+
+
+def _buffer(num_envs=2, T=5, num_eps_cap=3, size=16, A=2):
+    return ReplayBuffer(num_envs=num_envs, episode_len=T,
+                        capacity=num_envs * T * num_eps_cap,
+                        image_size=size, action_size=A, batch_size=8)
+
+
+def _fill_episode(buf, state, ep_value):
+    E, T = buf.num_envs, buf.T
+    s = buf.image_size
+    obs = jnp.full((E, 9, s, s), ep_value, jnp.uint8)
+    state = buf.add_reset(state, obs)
+    for t in range(T):
+        next_obs = jnp.full((E, 9, s, s), ep_value * 10 + t + 1, jnp.uint8)
+        state = buf.add(state,
+                        jnp.full((E, buf.action_size), float(t)),
+                        jnp.full((E,), float(t)),
+                        next_obs)
+    return state
+
+
+class TestReplay:
+    def test_fill_and_sample_shapes(self):
+        buf = _buffer()
+        state = buf.init()
+        state = _fill_episode(buf, state, 1)
+        assert int(state.num_eps) == 1
+        batch = buf.sample_raw(state, jax.random.PRNGKey(0))
+        assert batch.obs.shape == (8, 9, 16, 16)
+        assert batch.next_obs.shape == (8, 9, 16, 16)
+        assert batch.action.shape == (8, 2)
+        assert batch.reward.shape == (8, 1)
+        assert (np.asarray(batch.not_done) == 1.0).all()
+
+    def test_transition_alignment(self):
+        """next_obs newest frame must be the frame following obs's."""
+        buf = _buffer()
+        state = buf.init()
+        state = _fill_episode(buf, state, 2)
+        env_i = jnp.zeros(4, jnp.int32)
+        ep_i = jnp.zeros(4, jnp.int32)
+        s = jnp.arange(1, 5)
+        obs = jax.vmap(buf._stack, in_axes=(None, 0, 0, 0))(state, env_i, ep_i, s)
+        nxt = jax.vmap(buf._stack, in_axes=(None, 0, 0, 0))(state, env_i, ep_i, s + 1)
+        # action stored at step s is float(s) ⇒ reward r[s] == s; frames:
+        # frame at index t (t>0) has value 2*10 + t
+        for k in range(4):
+            t = int(s[k])
+            assert int(np.asarray(obs)[k, -1, 0, 0]) == 20 + t
+            assert int(np.asarray(nxt)[k, -1, 0, 0]) == 20 + t + 1
+
+    def test_episode_start_clamping(self):
+        """Stack at s=0 repeats the initial frame (FrameStack reset fill)."""
+        buf = _buffer()
+        state = buf.init()
+        state = _fill_episode(buf, state, 3)
+        stack = buf._stack(state, 0, 0, jnp.int32(0))
+        a = np.asarray(stack)
+        assert (a[:3] == a[3:6]).all() and (a[3:6] == a[6:9]).all()
+        assert int(a[0, 0, 0]) == 3  # the reset frame value
+
+    def test_ring_overwrite(self):
+        buf = _buffer(num_eps_cap=3)
+        state = buf.init()
+        for ep in range(5):
+            state = _fill_episode(buf, state, ep + 1)
+        assert int(state.num_eps) == 3
+        # in-progress slot excluded: all sampled rewards must be well-formed
+        batch = buf.sample_raw(state, jax.random.PRNGKey(1), 64)
+        assert np.isfinite(np.asarray(batch.reward)).all()
+
+    def test_jit_add_and_sample(self):
+        buf = _buffer()
+        state = buf.init()
+        add = jax.jit(buf.add)
+        state = buf.add_reset(state, jnp.zeros((2, 9, 16, 16), jnp.uint8))
+        for t in range(buf.T):
+            state = add(state, jnp.zeros((2, 2)), jnp.zeros(2),
+                        jnp.zeros((2, 9, 16, 16), jnp.uint8))
+        sample = jax.jit(lambda st, k: buf.sample_raw(st, k))
+        b = sample(state, jax.random.PRNGKey(0))
+        assert b.obs.shape == (8, 9, 16, 16)
+
+
+class TestAugment:
+    def test_random_crop(self):
+        imgs = jnp.arange(2 * 9 * 100 * 100, dtype=jnp.uint8).reshape(2, 9, 100, 100)
+        out = augment.random_crop(jax.random.PRNGKey(0), imgs, 84)
+        assert out.shape == (2, 9, 84, 84)
+
+    def test_random_crop_noop_when_same_size(self):
+        imgs = jnp.zeros((2, 9, 84, 84), jnp.uint8)
+        out = augment.random_crop(jax.random.PRNGKey(0), imgs, 84)
+        assert out.shape == (2, 9, 84, 84)
+
+    def test_center_crop(self):
+        imgs = jnp.zeros((2, 9, 100, 100))
+        assert augment.center_crop(imgs, 84).shape == (2, 9, 84, 84)
+
+    def test_random_shift_preserves_shape_and_range(self):
+        imgs = jnp.full((4, 9, 84, 84), 128, jnp.uint8)
+        out = augment.random_shift(jax.random.PRNGKey(0), imgs)
+        assert out.shape == (4, 9, 84, 84)
+        assert (np.asarray(out) == 128).all()  # constant image unchanged
+
+    def test_random_overlay_range(self):
+        pool = jnp.asarray(get_overlay_pool(84, 84, seed=0, num=8))
+        imgs = jnp.full((4, 9, 84, 84), 255, jnp.uint8)
+        out = augment.random_overlay(jax.random.PRNGKey(0), imgs, pool,
+                                     alpha_blending=0.5)
+        a = np.asarray(out)
+        assert a.shape == (4, 9, 84, 84)
+        assert a.min() >= 0 and a.max() <= 255
+        assert a.std() > 1.0  # overlay visible
+
+    def test_attribution_augmentation_keeps_salient(self):
+        pool = jnp.asarray(get_overlay_pool(84, 84, seed=0, num=8))
+        imgs = jnp.full((2, 9, 84, 84), 200, jnp.float32)
+        mask = jnp.zeros((2, 9, 84, 84), jnp.float32).at[:, :, :42].set(1.0)
+        out = augment.attribution_augmentation(jax.random.PRNGKey(0), imgs,
+                                               mask, pool)
+        a = np.asarray(out)
+        assert (a[:, :, :42] == 200).all()      # salient pixels kept
+        assert (a[:, :, 42:] != 200).any()      # rest replaced
+
+    def test_random_conv(self):
+        imgs = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (2, 9, 84, 84)),
+            jnp.uint8)
+        out = augment.random_conv(jax.random.PRNGKey(0), imgs)
+        assert out.shape == (2, 9, 84, 84)
+        a = np.asarray(out)
+        assert a.min() >= 0 and a.max() <= 255
+
+    def test_prepare_pad_batch(self):
+        obs = jnp.zeros((9, 100, 100), jnp.uint8)
+        nxt = jnp.zeros((9, 100, 100), jnp.uint8)
+        act = jnp.zeros(2)
+        b_obs, b_next, b_act = augment.prepare_pad_batch(
+            jax.random.PRNGKey(0), obs, nxt, act, batch_size=16)
+        assert b_obs.shape == (16, 9, 84, 84)
+        assert b_act.shape == (16, 2)
