@@ -1,0 +1,312 @@
+"""SAC from pixels — the base agent (jitted, functional).
+
+Behavioral port of the reference SAC (reference: src/algorithms/sac.py):
+shared CNN trunk between actor and critic (:29-44), tanh-squashed Gaussian
+actor, twin Q critics with a target copy (:53-54), learnable log_alpha with
+target entropy −|A| (:56-58), three Adam optimizers with the reference betas
+(:60-68), clipped double-Q critic target (:107-123), delayed actor/alpha
+updates and soft target updates with separate taus for Q heads vs encoder
+(:125-158).
+
+The whole update — replay sample → augmentation → losses → grads → optimizer
+→ target EMA — is ONE jitted function over pytrees; frequency-gated branches
+(actor every 2 steps, targets every 2) use `lax.cond`. `vmap`/`pjit` see a
+pure `(AgentState, ReplayState, rng) -> AgentState` transformer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from sgqn_carla_tpu.agents import nets
+from sgqn_carla_tpu.core.config import Config
+from sgqn_carla_tpu.data.replay import Batch, ReplayBuffer, ReplayState
+from sgqn_carla_tpu.ops import augment
+
+
+class AgentState(struct.PyTreeNode):
+    params: Any                 # {"trunk", "actor", "critic"}
+    target_params: Any          # {"trunk", "critic"}
+    log_alpha: jnp.ndarray
+    actor_opt: Any
+    critic_opt: Any
+    alpha_opt: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+    aux_params: Any = None      # algorithm-specific (CURL W, SGQN decoder, ...)
+    aux_opt: Any = None
+    aux_extra: Any = None       # e.g. SODA target predictor / batch stats
+
+
+class SAC:
+    """Static agent definition. All compute methods are pure; `update` and
+    the action fns are jit-compiled once per (obs, action) shape."""
+
+    name = "sac"
+
+    def __init__(self, obs_shape: Tuple[int, ...], action_shape: Tuple[int, ...],
+                 cfg: Config, overlay_pool: Optional[jnp.ndarray] = None):
+        self.cfg = cfg
+        self.obs_shape = obs_shape
+        self.action_dim = int(np.prod(action_shape))
+        self.discount = cfg.discount
+        self.critic_tau = cfg.critic_tau
+        self.encoder_tau = cfg.encoder_tau
+        self.actor_update_freq = cfg.actor_update_freq
+        self.critic_target_update_freq = cfg.critic_target_update_freq
+        self.target_entropy = -float(np.prod(action_shape))
+        self.overlay_pool = overlay_pool
+
+        self.trunk_def = nets.Trunk(cfg.num_shared_layers, cfg.num_head_layers,
+                                    cfg.num_filters)
+        self.actor_def = nets.ActorHead(
+            self.action_dim, cfg.hidden_dim, cfg.projection_dim,
+            cfg.actor_log_std_min, cfg.actor_log_std_max)
+        self.critic_def = nets.CriticHead(cfg.hidden_dim, cfg.projection_dim)
+
+        self.actor_tx = optax.adam(cfg.actor_lr, b1=cfg.actor_beta, b2=0.999)
+        if cfg.critic_weight_decay:
+            self.critic_tx = optax.adamw(cfg.critic_lr, b1=cfg.critic_beta,
+                                         b2=0.999,
+                                         weight_decay=cfg.critic_weight_decay)
+        else:
+            self.critic_tx = optax.adam(cfg.critic_lr, b1=cfg.critic_beta,
+                                        b2=0.999)
+        self.alpha_tx = optax.adam(cfg.alpha_lr, b1=cfg.alpha_beta, b2=0.999)
+
+        self._select = jax.jit(self._select_action)
+        self._sample = jax.jit(self._sample_action)
+
+    # ----------------------------------------------------------- forward fns
+    def feats(self, params, obs, act: Callable = jax.nn.relu):
+        return self.trunk_def.apply({"params": params["trunk"]}, obs, act)
+
+    def actor_forward(self, params, obs, detach: bool = False):
+        h = self.feats(params, obs)
+        if detach:
+            h = jax.lax.stop_gradient(h)
+        return self.actor_def.apply({"params": params["actor"]}, h)
+
+    def critic_forward(self, params, obs, action, detach: bool = False,
+                       act: Callable = jax.nn.relu, trunk_key: str = "trunk",
+                       critic_key: str = "critic"):
+        h = self.feats({"trunk": params[trunk_key]}, obs, act)
+        if detach:
+            h = jax.lax.stop_gradient(h)
+        return self.critic_def.apply({"params": params[critic_key]}, h, action,
+                                     act)
+
+    def policy(self, params, obs, rng):
+        """(mu, pi, log_pi, log_std) with squashing (reference: sac.py:95-105
+        via modules.Actor.forward)."""
+        mu, log_std = self.actor_forward(params, obs)
+        noise = jax.random.normal(rng, mu.shape)
+        pi = mu + noise * jnp.exp(log_std)
+        log_pi = nets.gaussian_logprob(noise, log_std)
+        mu, pi, log_pi = nets.squash(mu, pi, log_pi)
+        return mu, pi, log_pi, log_std
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng) -> AgentState:
+        k_t, k_a, k_c, k_next = jax.random.split(rng, 4)
+        dummy = jnp.zeros((1,) + tuple(self.obs_shape), jnp.float32)
+        trunk = self.trunk_def.init(k_t, dummy)["params"]
+        feats = self.trunk_def.apply({"params": trunk}, dummy)
+        actor = self.actor_def.init(k_a, feats)["params"]
+        dummy_act = jnp.zeros((1, self.action_dim), jnp.float32)
+        critic = self.critic_def.init(k_c, feats, dummy_act)["params"]
+        params = {"trunk": trunk, "actor": actor, "critic": critic}
+        target = jax.tree_util.tree_map(
+            lambda x: x, {"trunk": trunk, "critic": critic})
+        state = AgentState(
+            params=params,
+            target_params=target,
+            log_alpha=jnp.log(jnp.float32(self.cfg.init_temperature)),
+            actor_opt=self.actor_tx.init(actor),
+            critic_opt=self.critic_tx.init(
+                {"trunk": trunk, "critic": critic}),
+            alpha_opt=self.alpha_tx.init(jnp.zeros(())),
+            step=jnp.int32(0),
+            rng=k_next,
+        )
+        return self.init_aux(state, rng)
+
+    def init_aux(self, state: AgentState, rng) -> AgentState:
+        return state
+
+    # --------------------------------------------------------------- acting
+    def _obs_batch(self, obs):
+        obs = jnp.asarray(obs)
+        if obs.ndim == 3:
+            obs = obs[None]
+        return obs.astype(jnp.float32)
+
+    def _select_action(self, state: AgentState, obs):
+        mu, _ = self.actor_forward(state.params, self._obs_batch(obs))
+        return jnp.tanh(mu)
+
+    def _sample_action(self, state: AgentState, obs, rng):
+        _, pi, _, _ = self.policy(state.params, self._obs_batch(obs), rng)
+        return pi
+
+    def select_action(self, state: AgentState, obs):
+        return self._select(state, obs)
+
+    def sample_action(self, state: AgentState, obs, rng):
+        return self._sample(state, obs, rng)
+
+    # -------------------------------------------------------------- sampling
+    def sample_batch(self, buffer: ReplayBuffer, rstate: ReplayState,
+                     rng) -> Batch:
+        """Default sampler: independent random crops of obs / next_obs
+        (reference: utils.py:185-198 `sample` → random_crop)."""
+        k0, k1, k2 = jax.random.split(rng, 3)
+        raw = buffer.sample_raw(rstate, k0)
+        size = self.cfg.image_crop_size
+        return raw.replace(
+            obs=augment.random_crop(k1, raw.obs, size),
+            next_obs=augment.random_crop(k2, raw.next_obs, size),
+        )
+
+    # --------------------------------------------------------------- losses
+    def critic_target_values(self, state: AgentState, batch: Batch, rng):
+        _, pi, log_pi, _ = self.policy(state.params,
+                                       batch.next_obs.astype(jnp.float32), rng)
+        tq1, tq2 = self.critic_forward(state.target_params,
+                                       batch.next_obs.astype(jnp.float32), pi)
+        alpha = jnp.exp(state.log_alpha)
+        tv = jnp.minimum(tq1, tq2) - alpha * log_pi
+        target_q = batch.reward + batch.not_done * self.discount * tv
+        return jax.lax.stop_gradient(target_q)
+
+    def critic_loss_fn(self, params, state: AgentState, batch: Batch,
+                       target_q, rng) -> Tuple[jnp.ndarray, Dict]:
+        q1, q2 = self.critic_forward(params, batch.obs.astype(jnp.float32),
+                                     batch.action)
+        loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
+        return loss, {"critic_loss": loss}
+
+    def update_critic(self, state: AgentState, batch: Batch, rng):
+        k_t, k_l = jax.random.split(rng)
+        target_q = self.critic_target_values(state, batch, k_t)
+        c_params = {"trunk": state.params["trunk"],
+                    "critic": state.params["critic"]}
+        (loss, metrics), grads = jax.value_and_grad(
+            self.critic_loss_fn, has_aux=True)(
+                c_params, state, batch, target_q, k_l)
+        updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
+                                                 c_params)
+        new_c = optax.apply_updates(c_params, updates)
+        params = dict(state.params)
+        params["trunk"] = new_c["trunk"]
+        params["critic"] = new_c["critic"]
+        return state.replace(params=params, critic_opt=new_opt), metrics
+
+    def update_actor_and_alpha(self, state: AgentState, batch: Batch, rng):
+        obs = batch.obs.astype(jnp.float32)
+        feats = jax.lax.stop_gradient(self.feats(state.params, obs))
+
+        def actor_loss_fn(actor_params):
+            mu, log_std = self.actor_def.apply({"params": actor_params}, feats)
+            noise = jax.random.normal(rng, mu.shape)
+            pi = mu + noise * jnp.exp(log_std)
+            log_pi = nets.gaussian_logprob(noise, log_std)
+            mu_s, pi_s, log_pi = nets.squash(mu, pi, log_pi)
+            q1, q2 = self.critic_forward(state.params, obs, pi_s, detach=True)
+            q = jnp.minimum(q1, q2)
+            alpha = jnp.exp(jax.lax.stop_gradient(state.log_alpha))
+            loss = jnp.mean(alpha * log_pi - q)
+            return loss, log_pi
+
+        (a_loss, log_pi), a_grads = jax.value_and_grad(
+            actor_loss_fn, has_aux=True)(state.params["actor"])
+        a_updates, new_a_opt = self.actor_tx.update(
+            a_grads, state.actor_opt, state.params["actor"])
+        new_actor = optax.apply_updates(state.params["actor"], a_updates)
+
+        def alpha_loss_fn(log_alpha):
+            alpha = jnp.exp(log_alpha)
+            target = jax.lax.stop_gradient(-log_pi - self.target_entropy)
+            return jnp.mean(alpha * target)
+
+        al_loss, al_grad = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
+        al_updates, new_al_opt = self.alpha_tx.update(
+            al_grad, state.alpha_opt, state.log_alpha)
+        new_log_alpha = optax.apply_updates(state.log_alpha, al_updates)
+
+        params = dict(state.params)
+        params["actor"] = new_actor
+        return state.replace(params=params, actor_opt=new_a_opt,
+                             log_alpha=new_log_alpha, alpha_opt=new_al_opt), {
+            "actor_loss": a_loss, "alpha_loss": al_loss,
+            "alpha_value": jnp.exp(new_log_alpha)}
+
+    def soft_update_targets(self, state: AgentState) -> AgentState:
+        """Separate taus: Q heads (critic_tau) vs encoder = trunk + critic
+        projection (encoder_tau) (reference: sac.py:153-158)."""
+
+        def ema(tau):
+            return lambda t, p: (1 - tau) * t + tau * p
+
+        tgt = state.target_params
+        new_trunk = jax.tree_util.tree_map(
+            ema(self.encoder_tau), tgt["trunk"], state.params["trunk"])
+        new_critic = {}
+        for k, sub in state.params["critic"].items():
+            tau = self.encoder_tau if k == "projection" else self.critic_tau
+            new_critic[k] = jax.tree_util.tree_map(
+                ema(tau), tgt["critic"][k], sub)
+        return state.replace(
+            target_params={"trunk": new_trunk, "critic": new_critic})
+
+    # ---------------------------------------------------------------- update
+    def update_aux(self, state: AgentState, batch: Batch,
+                   buffer: ReplayBuffer, rstate: ReplayState, rng):
+        return state, {}
+
+    def _update(self, state: AgentState, rstate: ReplayState,
+                buffer: ReplayBuffer):
+        rng, k_s, k_c, k_a, k_x = jax.random.split(state.rng, 5)
+        state = state.replace(rng=rng)
+        batch = self.sample_batch(buffer, rstate, k_s)
+
+        state, c_metrics = self.update_critic(state, batch, k_c)
+
+        def do_actor(s):
+            s2, m = self.update_actor_and_alpha(s, batch, k_a)
+            return s2, m
+
+        def skip_actor(s):
+            z = {"actor_loss": jnp.float32(0), "alpha_loss": jnp.float32(0),
+                 "alpha_value": jnp.exp(s.log_alpha)}
+            return s, z
+
+        state, a_metrics = jax.lax.cond(
+            state.step % self.actor_update_freq == 0, do_actor, skip_actor,
+            state)
+
+        state = jax.lax.cond(
+            state.step % self.critic_target_update_freq == 0,
+            self.soft_update_targets, lambda s: s, state)
+
+        state, x_metrics = self.update_aux(state, batch, buffer, rstate, k_x)
+        state = state.replace(step=state.step + 1)
+        return state, {**c_metrics, **a_metrics, **x_metrics}
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _update_jit(self, state, rstate, buffer):
+        return self._update(state, rstate, buffer)
+
+    def update(self, state: AgentState, rstate: ReplayState,
+               buffer: ReplayBuffer):
+        """Uniform update signature for every algorithm (fixes the
+        train.py/sgsac `count` mismatch noted in SURVEY §2.1)."""
+        return self._update_jit(state, rstate, buffer)

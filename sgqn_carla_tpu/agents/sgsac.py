@@ -1,0 +1,143 @@
+"""SGQN ("sgsac"): saliency-guided Q-networks.
+
+Behavioral port of the reference SGSAC (reference: src/algorithms/sgsac.py):
+
+  * critic consistency loss (:64-74): guided-backprop attribution of Q1
+    w.r.t. the observation → per-sample quantile mask → masked obs with
+    non-salient pixels filled by ONE uniform random value drawn from
+    [obs.min(), obs.max()] → MSE(Q(s), Q(masked s)) × 0.5 added to the
+    critic loss;
+  * auxiliary attribution predictor (:82-102, 163-167): the critic encoder
+    + a deconv decoder predicts the attribution mask from an overlay-
+    augmented observation, trained with BCE-with-logits; the aux optimizer
+    also updates the critic encoder (reference: sgsac.py:35-39 — the
+    predictor's parameter list includes the encoder).
+
+TPU-native difference: captum's GuidedBackprop hook machinery becomes a
+custom-VJP activation (`ops/guided_backprop.py`), so attribution + mask +
+consistency + aux all fuse into the one jitted update.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sgqn_carla_tpu.agents import nets
+from sgqn_carla_tpu.agents.sac import SAC, AgentState
+from sgqn_carla_tpu.data.replay import Batch, ReplayBuffer, ReplayState
+from sgqn_carla_tpu.ops import augment
+from sgqn_carla_tpu.ops.guided_backprop import (
+    compute_attribution, compute_attribution_mask, guided_relu,
+)
+
+
+class SGSAC(SAC):
+    name = "sgsac"
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.quantile = self.cfg.sgqn_quantile
+        self.consistency = bool(self.cfg.consistency)
+        # trunk output spatial dim: (84-3)//2+1 = 41, minus 2 per s1 conv
+        spatial = 41 - 2 * (self.cfg.num_shared_layers - 1
+                            + self.cfg.num_head_layers)
+        self.decoder_def = nets.AttributionDecoder(
+            self.action_dim, self.cfg.projection_dim, spatial=max(spatial, 1),
+            out_channels=self.obs_shape[0], out_size=self.obs_shape[-1])
+        self.aux_tx = optax.adam(self.cfg.aux_lr, b1=self.cfg.aux_beta,
+                                 b2=0.999)
+
+    def init_aux(self, state: AgentState, rng) -> AgentState:
+        feat = jnp.zeros((1, self.cfg.projection_dim))
+        act = jnp.zeros((1, self.action_dim))
+        decoder = self.decoder_def.init(rng, feat, act)["params"]
+        aux_params = {"decoder": decoder}
+        full = self._aux_tree(state.params, aux_params)
+        return state.replace(aux_params=aux_params,
+                             aux_opt=self.aux_tx.init(full))
+
+    def _aux_tree(self, params, aux_params):
+        """attribution_predictor.parameters() = critic encoder + decoder."""
+        return {"trunk": params["trunk"],
+                "projection": params["critic"]["projection"],
+                "decoder": aux_params["decoder"]}
+
+    # ------------------------------------------------------------ attribution
+    def attribution_grad(self, params, obs, action):
+        """Guided-backprop d(ΣQ1)/d(obs) with frozen params."""
+        p = jax.lax.stop_gradient(params)
+
+        def q1_fn(o, a):
+            q1, _ = self.critic_forward(p, o, a, act=guided_relu)
+            return q1
+
+        return compute_attribution(q1_fn, obs, action)
+
+    def predict_attribution(self, full_params, obs, action):
+        feats = self.trunk_def.apply({"params": full_params["trunk"]},
+                                     obs.astype(jnp.float32))
+        z = self.critic_def.apply(
+            {"params": {"projection": full_params["projection"]}}, feats,
+            method=nets.CriticHead.encode)
+        return self.decoder_def.apply({"params": full_params["decoder"]}, z,
+                                      action)
+
+    # ---------------------------------------------------------------- critic
+    def critic_loss_fn(self, params, state, batch: Batch, target_q, rng):
+        obs = batch.obs.astype(jnp.float32)
+        q1, q2 = self.critic_forward(params, obs, batch.action)
+        loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
+        metrics = {"critic_loss": loss}
+        if self.consistency:
+            obs_grad = self.attribution_grad(params, obs,
+                                             jax.lax.stop_gradient(batch.action))
+            mask = compute_attribution_mask(obs_grad, self.quantile)
+            # single uniform fill value in [obs.min(), obs.max()]
+            # (reference: sgsac.py:67-70 random.uniform on scalars)
+            fill = jax.random.uniform(rng, (), jnp.float32,
+                                      jnp.min(obs), jnp.max(obs))
+            masked_obs = jnp.where(mask, obs, fill)
+            mq1, mq2 = self.critic_forward(params, masked_obs, batch.action)
+            loss = loss + 0.5 * (jnp.mean((q1 - mq1) ** 2)
+                                 + jnp.mean((q2 - mq2) ** 2))
+            metrics = {"critic_loss": loss}
+        return loss, metrics
+
+    # ------------------------------------------------------------------- aux
+    def update_aux(self, state: AgentState, batch: Batch, buffer: ReplayBuffer,
+                   rstate: ReplayState, rng):
+        def do(state):
+            k_m, k_o = jax.random.split(rng)
+            obs = batch.obs.astype(jnp.float32)
+            obs_grad = self.attribution_grad(state.params, obs, batch.action)
+            mask = compute_attribution_mask(obs_grad, self.quantile)
+            s_tilde = augment.random_overlay(k_o, obs, self.overlay_pool,
+                                             self.cfg.alpha_blending)
+            s_tilde = jax.lax.stop_gradient(s_tilde)
+            full = self._aux_tree(state.params, state.aux_params)
+            target_mask = jax.lax.stop_gradient(mask.astype(jnp.float32))
+
+            def loss_fn(fp):
+                logits = self.predict_attribution(fp, s_tilde, batch.action)
+                return jnp.mean(
+                    optax.sigmoid_binary_cross_entropy(logits, target_mask))
+
+            loss, grads = jax.value_and_grad(loss_fn)(full)
+            updates, new_opt = self.aux_tx.update(grads, state.aux_opt, full)
+            new = optax.apply_updates(full, updates)
+            params = dict(state.params)
+            params["trunk"] = new["trunk"]
+            critic = dict(params["critic"])
+            critic["projection"] = new["projection"]
+            params["critic"] = critic
+            return state.replace(params=params,
+                                 aux_params={"decoder": new["decoder"]},
+                                 aux_opt=new_opt), {"aux_loss": loss}
+
+        def skip(state):
+            return state, {"aux_loss": jnp.float32(0)}
+
+        return jax.lax.cond(state.step % self.cfg.aux_update_freq == 0,
+                            do, skip, state)

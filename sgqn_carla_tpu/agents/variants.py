@@ -1,0 +1,322 @@
+"""SAC-derived algorithms: RAD, DrQ, SVEA, CURL, PAD, SODA.
+
+Each is a thin override of the base SAC — the same structure as the
+reference subclass files (reference: src/algorithms/{rad,drq,svea,curl,
+pad,soda}.py), but every auxiliary update is part of the single jitted
+update program.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sgqn_carla_tpu.agents import nets
+from sgqn_carla_tpu.agents.sac import SAC, AgentState
+from sgqn_carla_tpu.data.replay import Batch, ReplayBuffer, ReplayState
+from sgqn_carla_tpu.ops import augment
+
+
+class RAD(SAC):
+    """Pure subclass: RAD behavior = random-crop sampling in the buffer
+    (reference: rad.py:11-13 + utils.py:195-197)."""
+
+    name = "rad"
+
+
+class DrQ(SAC):
+    """SAC + random-shift augmentation [K=1, M=1] (reference: drq.py)."""
+
+    name = "drq"
+
+    def sample_batch(self, buffer, rstate, rng):
+        k0, k1, k2 = jax.random.split(rng, 3)
+        raw = buffer.sample_raw(rstate, k0)
+        return raw.replace(
+            obs=augment.random_shift(k1, raw.obs),
+            next_obs=augment.random_shift(k2, raw.next_obs),
+        )
+
+
+class SVEA(SAC):
+    """Stabilized Q under augmentation: critic trained on [clean; overlay]
+    with a shared target (reference: svea.py:18-52); drq-style sampling."""
+
+    name = "svea"
+    sample_batch = DrQ.sample_batch
+
+    def critic_loss_fn(self, params, state, batch: Batch, target_q, rng):
+        a, b = self.cfg.svea_alpha, self.cfg.svea_beta
+        obs = batch.obs.astype(jnp.float32)
+        obs_aug = augment.random_overlay(rng, obs, self.overlay_pool,
+                                         self.cfg.alpha_blending)
+        if a == b:
+            obs_cat = jnp.concatenate([obs, obs_aug], axis=0)
+            act_cat = jnp.concatenate([batch.action, batch.action], axis=0)
+            tq_cat = jnp.concatenate([target_q, target_q], axis=0)
+            q1, q2 = self.critic_forward(params, obs_cat, act_cat)
+            loss = (a + b) * (jnp.mean((q1 - tq_cat) ** 2)
+                              + jnp.mean((q2 - tq_cat) ** 2))
+        else:
+            q1, q2 = self.critic_forward(params, obs, batch.action)
+            loss = a * (jnp.mean((q1 - target_q) ** 2)
+                        + jnp.mean((q2 - target_q) ** 2))
+            q1a, q2a = self.critic_forward(params, obs_aug, batch.action)
+            loss = loss + b * (jnp.mean((q1a - target_q) ** 2)
+                               + jnp.mean((q2a - target_q) ** 2))
+        return loss, {"critic_loss": loss}
+
+
+class CURL(SAC):
+    """InfoNCE contrastive aux over independent crops (reference: curl.py)."""
+
+    name = "curl"
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.curl_def = nets.CURLHead(self.cfg.projection_dim)
+        self.aux_tx = optax.adam(self.cfg.aux_lr, b1=self.cfg.aux_beta,
+                                 b2=0.999)
+
+    def init_aux(self, state: AgentState, rng) -> AgentState:
+        z = jnp.zeros((2, self.cfg.projection_dim))
+        W = self.curl_def.init(rng, z, z)["params"]
+        aux_params = {"W": W}
+        full = self._curl_params(state.params, aux_params)
+        return state.replace(aux_params=aux_params,
+                             aux_opt=self.aux_tx.init(full))
+
+    def _curl_params(self, params, aux_params):
+        """curl_head.parameters() = critic encoder + W (reference:
+        curl.py:16-20 — the aux optimizer updates the encoder too)."""
+        return {"trunk": params["trunk"],
+                "projection": params["critic"]["projection"],
+                "W": aux_params["W"]}
+
+    def sample_batch(self, buffer, rstate, rng):
+        k0, k1, k2, k3 = jax.random.split(rng, 4)
+        raw = buffer.sample_raw(rstate, k0)
+        size = self.cfg.image_crop_size
+        return raw.replace(
+            obs=augment.random_crop(k1, raw.obs, size),
+            next_obs=augment.random_crop(k2, raw.next_obs, size),
+            pos=augment.random_crop(k3, raw.obs, size),
+        )
+
+    def encode(self, trunk, projection, obs, stop: bool = False):
+        feats = self.trunk_def.apply({"params": trunk},
+                                     obs.astype(jnp.float32))
+        z = self.critic_def.apply({"params": {"projection": projection}},
+                                  feats, method=nets.CriticHead.encode)
+        return jax.lax.stop_gradient(z) if stop else z
+
+    def update_aux(self, state: AgentState, batch: Batch, buffer, rstate, rng):
+        def do(state):
+            cparams = self._curl_params(state.params, state.aux_params)
+
+            def loss_fn(cp):
+                z_a = self.encode(cp["trunk"], cp["projection"], batch.obs)
+                z_pos = self.encode(
+                    state.target_params["trunk"],
+                    state.target_params["critic"]["projection"],
+                    batch.pos, stop=True)
+                logits = self.curl_def.apply({"params": cp["W"]}, z_a, z_pos)
+                labels = jnp.arange(logits.shape[0])
+                return jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels))
+
+            loss, grads = jax.value_and_grad(loss_fn)(cparams)
+            updates, new_opt = self.aux_tx.update(grads, state.aux_opt,
+                                                  cparams)
+            new = optax.apply_updates(cparams, updates)
+            params = dict(state.params)
+            params["trunk"] = new["trunk"]
+            critic = dict(params["critic"])
+            critic["projection"] = new["projection"]
+            params["critic"] = critic
+            return state.replace(params=params, aux_opt=new_opt,
+                                 aux_params={"W": new["W"]}), {
+                "aux_loss": loss}
+
+        def skip(state):
+            return state, {"aux_loss": jnp.float32(0)}
+
+        return jax.lax.cond(state.step % self.cfg.aux_update_freq == 0,
+                            do, skip, state)
+
+
+class PAD(SAC):
+    """Inverse-dynamics aux on the shared CNN (reference: pad.py). The aux
+    head has its own flatten+projection; its optimizer also trains the
+    shared CNN (reference: pad.py:34-37)."""
+
+    name = "pad"
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.pad_proj_def = nets.RLProjection(self.cfg.projection_dim)
+        self.pad_mlp_def = nets.InverseDynamics(self.action_dim,
+                                                self.cfg.hidden_dim)
+        self.aux_tx = optax.adam(self.cfg.aux_lr, b1=self.cfg.aux_beta,
+                                 b2=0.999)
+
+    def init_aux(self, state: AgentState, rng) -> AgentState:
+        k1, k2 = jax.random.split(rng)
+        dummy = jnp.zeros((1,) + tuple(self.obs_shape), jnp.float32)
+        feats = self.trunk_def.apply({"params": state.params["trunk"]}, dummy)
+        proj = self.pad_proj_def.init(k1, feats)["params"]
+        h = self.pad_proj_def.apply({"params": proj}, feats)
+        mlp = self.pad_mlp_def.init(k2, h, h)["params"]
+        aux_params = {"projection": proj, "mlp": mlp}
+        full = {"trunk": state.params["trunk"], **aux_params}
+        return state.replace(aux_params=aux_params,
+                             aux_opt=self.aux_tx.init(full))
+
+    def pad_predict(self, full_params, obs, next_obs):
+        def enc(o):
+            feats = self.trunk_def.apply({"params": full_params["trunk"]},
+                                         o.astype(jnp.float32))
+            return self.pad_proj_def.apply(
+                {"params": full_params["projection"]}, feats)
+
+        return self.pad_mlp_def.apply({"params": full_params["mlp"]},
+                                      enc(obs), enc(next_obs))
+
+    def update_aux(self, state: AgentState, batch: Batch, buffer, rstate, rng):
+        def do(state):
+            full = {"trunk": state.params["trunk"], **state.aux_params}
+
+            def loss_fn(fp):
+                pred = self.pad_predict(fp, batch.obs, batch.next_obs)
+                return jnp.mean((pred - batch.action) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(full)
+            updates, new_opt = self.aux_tx.update(grads, state.aux_opt, full)
+            new = optax.apply_updates(full, updates)
+            params = dict(state.params)
+            params["trunk"] = new["trunk"]
+            aux = {"projection": new["projection"], "mlp": new["mlp"]}
+            return state.replace(params=params, aux_params=aux,
+                                 aux_opt=new_opt), {"aux_loss": loss}
+
+        def skip(state):
+            return state, {"aux_loss": jnp.float32(0)}
+
+        return jax.lax.cond(state.step % self.cfg.aux_update_freq == 0,
+                            do, skip, state)
+
+    def adapt(self, state: AgentState, rng, obs, next_obs, action):
+        """Test-time policy adaptation step (reference: eval.py:34-35 →
+        pad.update_inverse_dynamics on a prepare_pad_batch)."""
+        b_obs, b_next, b_act = augment.prepare_pad_batch(
+            rng, obs, next_obs, action, batch_size=32,
+            size=self.cfg.image_crop_size)
+        batch = Batch(obs=b_obs, action=b_act,
+                      reward=jnp.zeros((32, 1)), next_obs=b_next,
+                      not_done=jnp.ones((32, 1)))
+        state, metrics = self.update_aux(
+            state.replace(step=jnp.int32(0)), batch, None, None, rng)
+        return state, metrics
+
+
+class SODA(SAC):
+    """BYOL-style aux: predictor vs EMA target on (augmented, clean) pairs
+    (reference: soda.py). BatchNorm runs in batch-stats mode as in the
+    reference (the predictor is never switched to eval for updates)."""
+
+    name = "soda"
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        cfg = self.cfg
+        self.soda_proj_def = nets.SODAMLP(cfg.projection_dim,
+                                          cfg.projection_dim)
+        self.soda_pred_def = nets.SODAMLP(cfg.projection_dim,
+                                          cfg.projection_dim)
+        self.aux_tx = optax.adam(cfg.aux_lr, b1=cfg.aux_beta, b2=0.999)
+
+    def init_aux(self, state: AgentState, rng) -> AgentState:
+        k1, k2 = jax.random.split(rng)
+        dummy = jnp.zeros((1,) + tuple(self.obs_shape), jnp.float32)
+        feats = self.trunk_def.apply({"params": state.params["trunk"]}, dummy)
+        proj_vars = self.soda_proj_def.init(k1, feats)
+        h, _ = self.soda_proj_def.apply(proj_vars, feats,
+                                        mutable=["batch_stats"])
+        pred_vars = self.soda_pred_def.init(k2, h)
+        aux_params = {"proj": proj_vars["params"],
+                      "pred": pred_vars["params"]}
+        aux_stats = {"proj": proj_vars.get("batch_stats", {}),
+                     "pred": pred_vars.get("batch_stats", {})}
+        # EMA target of (trunk, proj) — reference predictor_target (soda.py:28)
+        target = {"trunk": state.params["trunk"], "proj": aux_params["proj"],
+                  "proj_stats": aux_stats["proj"]}
+        full = {"trunk": state.params["trunk"], **aux_params}
+        return state.replace(
+            aux_params=aux_params, aux_opt=self.aux_tx.init(full),
+            aux_extra={"target": target, "stats": aux_stats})
+
+    def _soda_h(self, trunk, proj, stats, obs, with_pred=None,
+                pred_stats=None):
+        feats = self.trunk_def.apply({"params": trunk},
+                                     obs.astype(jnp.float32))
+        h, _ = self.soda_proj_def.apply(
+            {"params": proj, "batch_stats": stats}, feats,
+            mutable=["batch_stats"])
+        if with_pred is not None:
+            h, _ = self.soda_pred_def.apply(
+                {"params": with_pred, "batch_stats": pred_stats}, h,
+                mutable=["batch_stats"])
+        return h
+
+    def update_aux(self, state: AgentState, batch: Batch, buffer: ReplayBuffer,
+                   rstate: ReplayState, rng):
+        def do(state):
+            k0, k1, k2, k3 = jax.random.split(rng, 4)
+            x = buffer.sample_obs_only(rstate, k0, self.cfg.soda_batch_size)
+            size = self.cfg.image_crop_size
+            x_clean = augment.random_crop(k1, x, size)
+            x_aug = augment.random_crop(k2, x, size)
+            x_aug = augment.random_overlay(k3, x_aug.astype(jnp.float32),
+                                           self.overlay_pool,
+                                           self.cfg.alpha_blending)
+            stats = state.aux_extra["stats"]
+            tgt = state.aux_extra["target"]
+            full = {"trunk": state.params["trunk"], **state.aux_params}
+
+            def loss_fn(fp):
+                h0 = self._soda_h(fp["trunk"], fp["proj"], stats["proj"],
+                                  x_aug, with_pred=fp["pred"],
+                                  pred_stats=stats["pred"])
+                h1 = self._soda_h(tgt["trunk"], tgt["proj"],
+                                  tgt["proj_stats"], x_clean)
+                h1 = jax.lax.stop_gradient(h1)
+                h0 = h0 / (jnp.linalg.norm(h0, axis=1, keepdims=True) + 1e-9)
+                h1 = h1 / (jnp.linalg.norm(h1, axis=1, keepdims=True) + 1e-9)
+                return jnp.mean((h0 - h1) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(full)
+            updates, new_opt = self.aux_tx.update(grads, state.aux_opt, full)
+            new = optax.apply_updates(full, updates)
+            params = dict(state.params)
+            params["trunk"] = new["trunk"]
+            aux_params = {"proj": new["proj"], "pred": new["pred"]}
+            tau = self.cfg.soda_tau
+            new_target = jax.tree_util.tree_map(
+                lambda t, p: (1 - tau) * t + tau * p,
+                {"trunk": tgt["trunk"], "proj": tgt["proj"]},
+                {"trunk": new["trunk"], "proj": new["proj"]})
+            new_target["proj_stats"] = tgt["proj_stats"]
+            return state.replace(
+                params=params, aux_params=aux_params, aux_opt=new_opt,
+                aux_extra={"target": new_target, "stats": stats}), {
+                "aux_loss": loss}
+
+        def skip(state):
+            return state, {"aux_loss": jnp.float32(0)}
+
+        return jax.lax.cond(state.step % self.cfg.aux_update_freq == 0,
+                            do, skip, state)

@@ -48,6 +48,7 @@ class Batch(struct.PyTreeNode):
     reward: jnp.ndarray    # (B, 1)
     next_obs: jnp.ndarray  # (B, K*3, H, W) uint8
     not_done: jnp.ndarray  # (B, 1)
+    pos: jnp.ndarray = None  # CURL positive crops (reference: sample_curl)
 
 
 class ReplayBuffer:

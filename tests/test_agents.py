@@ -1,0 +1,150 @@
+"""Agent tests: every algorithm's jitted update runs, changes the right
+parameters, and produces finite losses. Networks are shrunk for CPU speed
+except where the architecture pins shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgqn_carla_tpu.agents import make_agent
+from sgqn_carla_tpu.agents.factory import ALGORITHMS
+from sgqn_carla_tpu.core.config import Config
+from sgqn_carla_tpu.data.overlay import get_overlay_pool
+from sgqn_carla_tpu.data.replay import ReplayBuffer
+
+A = 2  # action dim
+
+
+def _cfg(algo, **kw):
+    base = dict(
+        algorithm=algo, num_shared_layers=4, num_filters=8, hidden_dim=32,
+        projection_dim=16, batch_size=4, soda_batch_size=4, init_steps=1,
+        train_steps=100,
+    )
+    base.update(kw)
+    return Config(**base).finalize()
+
+
+def _filled_buffer(cfg, T=3, num_envs=2):
+    buf = ReplayBuffer(num_envs=num_envs, episode_len=T,
+                       capacity=num_envs * T * 2, image_size=cfg.image_size,
+                       action_size=A, batch_size=cfg.batch_size)
+    state = buf.init()
+    rng = np.random.RandomState(0)
+    s = cfg.image_size
+    state = buf.add_reset(state, jnp.asarray(
+        rng.randint(0, 255, (num_envs, 9, s, s)), jnp.uint8))
+    for t in range(T):
+        state = buf.add(
+            state,
+            jnp.asarray(rng.uniform(-1, 1, (num_envs, A)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (num_envs,)), jnp.float32),
+            jnp.asarray(rng.randint(0, 255, (num_envs, 9, s, s)), jnp.uint8))
+    return buf, state
+
+
+def _pool(cfg):
+    return jnp.asarray(get_overlay_pool(cfg.image_crop_size,
+                                        cfg.image_crop_size, num=4))
+
+
+def _mk(algo, **kw):
+    cfg = _cfg(algo, **kw)
+    agent = make_agent((9, cfg.image_crop_size, cfg.image_crop_size), (A,),
+                       cfg, overlay_pool=_pool(cfg))
+    state = agent.init_state(jax.random.PRNGKey(0))
+    buf, rstate = _filled_buffer(cfg)
+    return agent, state, buf, rstate
+
+
+class TestActions:
+    def test_select_deterministic(self):
+        agent, state, _, _ = _mk("sac")
+        obs = jnp.zeros((9, 84, 84), jnp.uint8)
+        a1 = agent.select_action(state, obs)
+        a2 = agent.select_action(state, obs)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert a1.shape == (1, A)
+        assert (np.abs(np.asarray(a1)) <= 1).all()
+
+    def test_sample_stochastic(self):
+        agent, state, _, _ = _mk("sac")
+        obs = jnp.zeros((9, 84, 84), jnp.uint8)
+        a1 = agent.sample_action(state, obs, jax.random.PRNGKey(1))
+        a2 = agent.sample_action(state, obs, jax.random.PRNGKey(2))
+        assert (np.asarray(a1) != np.asarray(a2)).any()
+
+
+@pytest.mark.parametrize("algo", sorted(ALGORITHMS))
+def test_update_runs_and_is_finite(algo):
+    kw = {}
+    if algo == "sgsac":
+        # decoder spatial math needs the full 11-layer trunk → keep defaults
+        kw = dict(num_shared_layers=11, num_filters=8)
+    agent, state, buf, rstate = _mk(algo, **kw)
+    state1, metrics = agent.update(state, rstate, buf)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{algo}: {k} not finite"
+    assert "critic_loss" in metrics
+    # two more updates exercise both cond branches (freqs = 2)
+    state2, _ = agent.update(state1, rstate, buf)
+    state3, m3 = agent.update(state2, rstate, buf)
+    assert int(state3.step) == 3
+    # parameters actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params["trunk"], state3.params["trunk"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0, f"{algo}: trunk frozen"
+
+
+def test_target_updates_lag_params():
+    agent, state, buf, rstate = _mk("sac")
+    for _ in range(4):
+        state, _ = agent.update(state, rstate, buf)
+    diff_t = jax.tree_util.tree_map(
+        lambda p, t: float(jnp.max(jnp.abs(p - t))),
+        state.params["critic"], state.target_params["critic"])
+    assert max(jax.tree_util.tree_leaves(diff_t)) > 0  # target lags
+
+
+def test_alpha_moves():
+    agent, state, buf, rstate = _mk("sac")
+    a0 = float(state.log_alpha)
+    for _ in range(4):
+        state, _ = agent.update(state, rstate, buf)
+    assert float(state.log_alpha) != a0
+
+
+class TestGuidedBackprop:
+    def test_guided_relu_gates_both(self):
+        from sgqn_carla_tpu.ops.guided_backprop import guided_relu
+
+        def f(x):
+            return jnp.sum(guided_relu(x) * jnp.asarray([1.0, 1.0, -1.0, -1.0]))
+
+        x = jnp.asarray([1.0, -1.0, 1.0, -1.0])
+        g = jax.grad(f)(x)
+        # grad passes only where input>0 AND upstream grad>0
+        np.testing.assert_allclose(np.asarray(g), [1.0, 0.0, 0.0, 0.0])
+
+    def test_attribution_mask_quantile(self):
+        from sgqn_carla_tpu.ops.guided_backprop import compute_attribution_mask
+
+        grad = jnp.asarray(np.random.RandomState(0).randn(2, 9, 16, 16),
+                           jnp.float32)
+        mask = compute_attribution_mask(grad, 0.9)
+        assert mask.shape == (2, 9, 16, 16)
+        frac = np.asarray(mask[:, :3]).mean()
+        assert 0.05 < frac < 0.20  # ~10% of pixels above the 0.9 quantile
+
+    def test_sgsac_attribution_shapes(self):
+        agent, state, buf, rstate = _mk("sgsac", num_shared_layers=11,
+                                        num_filters=8)
+        obs = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (2, 9, 84, 84)),
+            jnp.float32)
+        act = jnp.zeros((2, A))
+        grad = agent.attribution_grad(state.params, obs, act)
+        assert grad.shape == obs.shape
+        assert np.abs(np.asarray(grad)).sum() > 0
