@@ -73,8 +73,12 @@ class MetersGroup:
     def _prime_meters(self):
         data = {}
         for key, meter in self._meters.items():
-            # strip the "train/" / "eval/" prefix, flatten the rest
-            key = key.split("/", 1)[1] if "/" in key else key
+            # reference key mangling (logger.py:53-62): strip "train"/"eval"
+            # + one separator char, then flatten "/" → "_"
+            if key.startswith("train"):
+                key = key[len("train") + 1:]
+            elif key.startswith("eval"):
+                key = key[len("eval") + 1:]
             data[key.replace("/", "_")] = meter.value()
         return data
 

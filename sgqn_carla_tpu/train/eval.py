@@ -1,0 +1,91 @@
+"""Offline evaluation CLI (reference: src/eval.py).
+
+Loads a saved checkpoint, runs eval episodes in the requested mode, writes
+an `eval_<mode>.json` results file (the reference writes a torch .pt of the
+same payload, eval.py:107-112). Includes the PAD test-time adaptation branch
+(reference: eval.py:94-104)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from sgqn_carla_tpu.agents import make_agent
+from sgqn_carla_tpu.core import checkpoint as ckpt
+from sgqn_carla_tpu.core.config import parse_args
+from sgqn_carla_tpu.envs import make_env
+from sgqn_carla_tpu.train.loop import evaluate, work_dir_for
+from sgqn_carla_tpu.train.video import VideoRecorder
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    work_dir = work_dir_for(cfg)
+    model_dir = os.path.join(work_dir, "model")
+
+    env = make_env(
+        domain_name=cfg.domain_name, task_name=cfg.task_name,
+        seed=cfg.seed + 42, episode_length=cfg.episode_length,
+        action_repeat=cfg.action_repeat, frame_stack=cfg.frame_stack,
+        image_size=cfg.image_size, mode=cfg.eval_mode or "train",
+        intensity=cfg.distracting_cs_intensity)
+
+    agent = make_agent((3 * cfg.frame_stack, cfg.image_crop_size,
+                        cfg.image_crop_size), (env.action_size,), cfg)
+    astate = agent.init_state(jax.random.PRNGKey(cfg.seed))
+
+    step = ckpt.latest_step(model_dir)
+    assert step is not None, f"no checkpoint under {model_dir}"
+    like = {"params": astate.params, "target_params": astate.target_params,
+            "log_alpha": astate.log_alpha, "aux_params": astate.aux_params}
+    restored = ckpt.restore(model_dir, step, like)
+    astate = astate.replace(**restored)
+
+    video = VideoRecorder(
+        os.path.join(work_dir, "video") if cfg.save_video else None,
+        height=cfg.eval_render_size, width=cfg.eval_render_size,
+        enabled=cfg.save_video)
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    if cfg.algorithm == "pad":
+        reward = _evaluate_pad(agent, astate, env, cfg, rng)
+    else:
+        reward = evaluate(agent, astate, env, cfg.eval_episodes, rng, video,
+                          f"eval_{cfg.eval_mode}.mp4")
+    print(f"Average episode reward: {round(reward, 2)}")
+
+    out = {"args": {k: str(v) for k, v in cfg.__dict__.items()},
+           "step": step, "reward": reward}
+    with open(os.path.join(work_dir, f"eval_{cfg.eval_mode}.json"), "w") as f:
+        json.dump(out, f)
+    return reward
+
+
+def _evaluate_pad(agent, astate, env, cfg, rng):
+    """PAD: adapt the inverse-dynamics head online during evaluation
+    (reference: eval.py:16-41 — per-step update_inverse_dynamics)."""
+    totals = []
+    for ep in range(cfg.eval_episodes):
+        ep_state = astate  # episodic copy (reference deepcopies the agent)
+        rng, k = jax.random.split(rng)
+        state, obs = env.reset(k)
+        total = 0.0
+        done = False
+        while not done:
+            action = np.asarray(agent.select_action(ep_state, obs))[0]
+            next_state, res = env.step(state, action)
+            rng, k2 = jax.random.split(rng)
+            ep_state, _ = agent.adapt(ep_state, k2, obs, res.obs,
+                                      jax.numpy.asarray(action))
+            total += float(res.reward)
+            done = bool(res.done)
+            state, obs = next_state, res.obs
+        totals.append(total)
+    return float(np.mean(totals))
+
+
+if __name__ == "__main__":
+    main()

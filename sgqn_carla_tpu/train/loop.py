@@ -1,0 +1,205 @@
+"""Training loop shared by the DMC and CARLA drivers.
+
+Mirrors the reference experiment driver (reference: src/train.py:67-256):
+work dir `logs/<domain>_<task>/<algo>/<seed>`, info.log metadata, JSONL
+train/eval logs, periodic evaluation on train + per-mode test envs,
+periodic checkpoints. Differences, all deliberate (SURVEY §5/§7):
+
+  * N vectorized envs step in lockstep on device; `step` still counts
+    wrapper steps per env, so flags keep their reference meaning;
+  * the update is one jitted program (sample→augment→grads→optimizers);
+  * checkpoints are full-state (params+opt+rng) and resumable — the
+    reference asserts the work dir does NOT exist (train.py:135-137) and
+    can only save.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgqn_carla_tpu.agents import make_agent
+from sgqn_carla_tpu.core import checkpoint as ckpt
+from sgqn_carla_tpu.core.config import Config
+from sgqn_carla_tpu.core.logger import Logger
+from sgqn_carla_tpu.data.replay import ReplayBuffer
+from sgqn_carla_tpu.envs import make_env
+from sgqn_carla_tpu.envs.vector import VectorEnv
+from sgqn_carla_tpu.train.video import VideoRecorder
+
+# metric-name map: agent metrics → reference logger keys
+_METRIC_KEYS = {
+    "critic_loss": "train_critic/loss",
+    "actor_loss": "train_actor/loss",
+    "alpha_loss": "train_alpha/loss",
+    "alpha_value": "train_alpha/value",
+    "aux_loss": "train/aux_loss",
+}
+
+
+def work_dir_for(cfg: Config) -> str:
+    return os.path.join(cfg.log_dir, f"{cfg.domain_name}_{cfg.task_name}",
+                        cfg.algorithm, str(cfg.seed))
+
+
+def write_info(cfg: Config, work_dir: str):
+    """Run metadata: git hash + args (reference: utils.py:48-57)."""
+    try:
+        git = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL
+        ).decode().strip()
+    except Exception:
+        git = "unknown"
+    with open(os.path.join(work_dir, "info.log"), "w") as f:
+        f.write(json.dumps({"timestamp": time.time(), "git": git,
+                            "args": cfg.__dict__}, default=str) + "\n")
+
+
+def evaluate(agent, astate, env, num_episodes: int, rng,
+             video: Optional[VideoRecorder] = None,
+             video_name: str = "") -> float:
+    """Run `num_episodes` eval episodes in parallel (one env per episode),
+    deterministic policy (reference: train.py:29-64 evaluate)."""
+    venv = VectorEnv(env, num_episodes)
+    states, obs = venv.reset(rng)
+    totals = np.zeros(num_episodes)
+    step_fn = jax.jit(venv.step)
+    for t in range(env.max_episode_steps):
+        actions = agent.select_action(astate, obs)
+        states, res = step_fn(states, actions)
+        obs = res.obs
+        totals += np.asarray(res.reward)
+        if video is not None and video.enabled:
+            video.record(env, jax.tree_util.tree_map(lambda x: x[0], states))
+    if video is not None:
+        video.save(video_name)
+    return float(totals.mean())
+
+
+def run_training(cfg: Config, env_factory=make_env) -> Dict:
+    """Train per `cfg`; returns summary stats. `env_factory` lets the CARLA
+    driver reuse this loop with its twin env."""
+    work_dir = work_dir_for(cfg)
+    os.makedirs(work_dir, exist_ok=True)
+    write_info(cfg, work_dir)
+    L = Logger(work_dir)
+    video_dir = os.path.join(work_dir, "video")
+    model_dir = os.path.join(work_dir, "model")
+    video = VideoRecorder(video_dir if cfg.save_video else None,
+                          height=cfg.eval_render_size,
+                          width=cfg.eval_render_size,
+                          enabled=cfg.save_video)
+
+    env = env_factory(
+        domain_name=cfg.domain_name, task_name=cfg.task_name, seed=cfg.seed,
+        episode_length=cfg.episode_length, action_repeat=cfg.action_repeat,
+        frame_stack=cfg.frame_stack, image_size=cfg.image_size, mode="train")
+    test_envs: List = []
+    test_modes: List[str] = []
+    eval_modes = (["color_hard", "video_easy", "video_hard"]
+                  if cfg.eval_mode == "all"
+                  else [cfg.eval_mode] if cfg.eval_mode not in (None, "train")
+                  else [])
+    for m in eval_modes:
+        test_envs.append(env_factory(
+            domain_name=cfg.domain_name, task_name=cfg.task_name,
+            seed=cfg.seed + 42, episode_length=cfg.episode_length,
+            action_repeat=cfg.action_repeat, frame_stack=cfg.frame_stack,
+            image_size=cfg.image_size, mode=m, intensity=cfg.distracting_cs_intensity))
+        test_modes.append(m)
+
+    venv = VectorEnv(env, cfg.num_envs)
+    buffer = ReplayBuffer(
+        num_envs=cfg.num_envs, episode_len=env.max_episode_steps,
+        capacity=cfg.replay_capacity, image_size=cfg.image_size,
+        action_size=env.action_size, frame_stack=cfg.frame_stack,
+        batch_size=cfg.batch_size)
+    rstate = buffer.init()
+
+    agent = make_agent((3 * cfg.frame_stack, cfg.image_crop_size,
+                        cfg.image_crop_size), (env.action_size,), cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, k_init, k_env = jax.random.split(rng, 3)
+    astate = agent.init_state(k_init)
+
+    states, obs = venv.reset(k_env)
+    rstate = jax.jit(buffer.add_reset)(rstate, obs)
+    add_fn = jax.jit(buffer.add)
+    step_fn = jax.jit(venv.step)
+
+    episode = 0
+    episode_reward = np.zeros(cfg.num_envs)
+    start = time.time()
+    total_steps = cfg.train_steps
+    last_metrics = {}
+
+    for step in range(total_steps + 1):
+        # ---- periodic evaluation (reference: train.py:184-204)
+        if cfg.eval_mode is not None and step % cfg.eval_freq == 0 and step > 0:
+            rng, k_ev = jax.random.split(rng)
+            video.init(enabled=True)
+            L.log("eval/episode_reward",
+                  evaluate(agent, astate, env, cfg.eval_episodes, k_ev,
+                           video, f"{step}.mp4"), step)
+            for te, tm in zip(test_envs, test_modes):
+                rng, k_te = jax.random.split(rng)
+                L.log(f"eval/episode_reward_test_env_{tm}",
+                      evaluate(agent, astate, te, cfg.eval_episodes, k_te),
+                      step)
+            L.dump(step)
+
+        # ---- periodic checkpoint (reference: train.py:206-219)
+        if step % cfg.save_freq == 0 and step > 0:
+            ckpt.save(model_dir,
+                      {"params": astate.params,
+                       "target_params": astate.target_params,
+                       "log_alpha": astate.log_alpha,
+                       "aux_params": astate.aux_params}, step)
+
+        if step == total_steps:
+            break
+
+        # ---- updates (reference: train.py:241-246 — init_steps catch-up)
+        if step >= cfg.init_steps:
+            num_updates = cfg.init_steps if step == cfg.init_steps else 1
+            for _ in range(num_updates):
+                astate, metrics = agent.update(astate, rstate, buffer)
+            last_metrics = metrics
+            for k, v in metrics.items():
+                L.log(_METRIC_KEYS.get(k, f"train/{k}"), v, step)
+
+        # ---- act (random until init_steps; reference: train.py:227-239)
+        rng, k_act = jax.random.split(rng)
+        if step < cfg.init_steps:
+            actions = jax.random.uniform(
+                k_act, (cfg.num_envs, env.action_size), minval=-1.0, maxval=1.0)
+        else:
+            actions = agent.sample_action(astate, obs, k_act)
+
+        states, res = step_fn(states, actions)
+        rstate = add_fn(rstate, actions, res.reward, res.obs)
+        obs = res.obs
+        episode_reward += np.asarray(res.reward)
+
+        if bool(np.asarray(res.done).all()):
+            L.log("train/episode_reward", float(episode_reward.mean()), step + 1)
+            L.log("train/episode", episode, step + 1)
+            L.log("train/duration", time.time() - start, step + 1)
+            L.dump(step + 1)
+            start = time.time()
+            episode += 1
+            episode_reward[:] = 0
+            rng, k_r = jax.random.split(rng)
+            states, obs = venv.reset(k_r)
+            rstate = jax.jit(buffer.add_reset)(rstate, obs)
+
+    print("Completed training for", work_dir)
+    return {"work_dir": work_dir, "episodes": episode,
+            "final_metrics": {k: float(v) for k, v in last_metrics.items()}}
