@@ -1,0 +1,356 @@
+"""CARLA twin: a JAX driving environment with the CarlaEnv API.
+
+The reference drives a UE4 CARLA server over TCP RPC (reference:
+src/carla_wrapper.py — `CarlaEnv(gym.Env)` connects at :88-89, spawns a
+vehicle + 84×84 fov-84 RGB camera at :134-146, collision sensor :166-173,
+synchronous 20 fps stepping :487-538). SURVEY §2.3: the TPU-native
+equivalent is a batchable twin, not an RPC client. This module matches the
+*learning problem*: same obs/action/reward API, waypoint-following reward,
+collision events with respawn, procedural weather drift, autopilot traffic
+— while dynamics + rendering are pure jnp, `vmap`-able to thousands of
+"servers" (multi-server parity = a batch axis, SURVEY §2.4).
+
+Matched semantics:
+  * action  = [throttle_brake, steer] ∈ [-1,1]² (carla_wrapper.py:185);
+  * reward  = 100·(−dist to nearest waypoint) + 100·(−1 on collision)
+    (carla_wrapper.py:433-453), averaged over frame_skip
+    (carla_wrapper.py:289-316 — mean, unlike the DMC sum);
+  * collision respawns the vehicle (carla_wrapper.py:465-468); episodes
+    run to the time limit (the reference both respawns *and* flags done —
+    we keep the respawn and let the time limit end episodes, which keeps
+    the env-batch lockstep);
+  * weather: `Sun`/`Storm` ODEs ported exactly (carla_wrapper.py:574-626)
+    and applied as image-space sun-brightness / fog / rain effects;
+  * reset stabilization: the reference steps 100 no-ops to settle physics
+    (carla_wrapper.py:198-201) — the twin's dynamics need no settling;
+  * `color_easy` test mode: obs α-blended with dataset frames at α=0.5
+    (reference: ColorWrapper_carla, env/wrappers.py:179-237).
+
+World model: a circular ring road (radius 50 m, width 7 m) with dashed
+center line, building blocks inside/outside the ring, and box traffic
+vehicles following the centerline — the minimal scene preserving visual
+structure + collision/waypoint semantics (SURVEY §7 hard part #5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from sgqn_carla_tpu.data.overlay import get_overlay_pool
+from sgqn_carla_tpu.physics.model import BOX, PLANE, ModelBuilder
+from sgqn_carla_tpu.render.raster import Camera, default_appearance, render_scene
+
+# world constants
+_R = 50.0          # ring road centerline radius (m)
+_ROAD_HW = 3.5     # road half width
+_DT = 0.05         # 20 fps fixed Δt (carla_wrapper.py:151-158)
+_WHEELBASE = 2.7
+_MAX_STEER = 0.6   # rad
+_ACCEL = 6.0       # m/s² at full throttle
+_BRAKE = 10.0
+_DRAG = 0.12
+_N_TRAFFIC = 8     # autopilot vehicles (reference spawns 20 across town)
+_N_BUILDINGS = 14
+_COLLIDE_DIST = 2.5
+_BUILDING_HIT = 12.0  # |r−R| beyond this hits the building rings
+
+
+class CarlaState(struct.PyTreeNode):
+    pos: jnp.ndarray        # (2,) x, y
+    yaw: jnp.ndarray
+    speed: jnp.ndarray
+    traffic_ang: jnp.ndarray  # (N_TRAFFIC,) angle along ring
+    sun_t: jnp.ndarray
+    sun_azimuth: jnp.ndarray
+    storm_t: jnp.ndarray
+    storm_inc: jnp.ndarray  # 1.0 / 0.0
+    collision: jnp.ndarray  # collision happened this wrapper step
+    frames: jnp.ndarray     # (K*3, H, W) uint8
+    step_i: jnp.ndarray
+    rng: jnp.ndarray
+
+
+class CarlaStepResult(struct.PyTreeNode):
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _storm_tick(t, inc, dt):
+    """Storm ODE (reference: carla_wrapper.py:593-618)."""
+    delta = jnp.where(inc > 0.5, 1.3, -1.3) * dt
+    t = jnp.clip(t + delta, -250.0, 100.0)
+    inc = jnp.where(t <= -250.0 + 1e-6, 1.0,
+                    jnp.where(t >= 100.0 - 1e-6, 0.0, inc))
+    clouds = jnp.clip(t + 40.0, 0.0, 60.0)
+    rain = jnp.clip(t, 0.0, 80.0)
+    fog = jnp.clip(t - 10.0, 0.0, 30.0)
+    return t, inc, clouds, rain, fog
+
+
+def _sun_tick(sun_t, azimuth, dt):
+    """Sun ODE (reference: carla_wrapper.py:574-588)."""
+    sun_t = jnp.mod(sun_t + 0.008 * dt, 2 * jnp.pi)
+    azimuth = jnp.mod(azimuth + 0.25 * dt, 360.0)
+    altitude = 55.0 + 35.0 * jnp.cos(sun_t)  # [20, 90] band
+    return sun_t, azimuth, altitude
+
+
+class CarlaTwinEnv:
+    """Duck-typed like DMCPixelEnv: reset/step/render_eval + metadata."""
+
+    def __init__(self, *, mode: str = "train", image_size: int = 84,
+                 action_repeat: int = 4, frame_stack: int = 3,
+                 episode_length: int = 600, seed: int = 0,
+                 changing_weather_speed: float = 0.1, traffic: bool = True,
+                 **_ignored):
+        self.mode = mode
+        self.image_size = image_size
+        self.action_repeat = action_repeat  # = frame_skip
+        self.frame_stack = frame_stack
+        self.episode_length = episode_length
+        self.max_episode_steps = (episode_length + action_repeat - 1) // action_repeat
+        self.action_size = 2
+        self.weather_speed = changing_weather_speed
+        self.traffic = traffic
+
+        self._build_scene(seed)
+        if mode.startswith("color"):
+            pool = get_overlay_pool(image_size, image_size, seed=seed + 11)
+            self.blend_pool = jnp.asarray(pool)  # (N, 3, H, W) float [0,1]
+        else:
+            self.blend_pool = None
+
+    @property
+    def obs_shape(self):
+        return (3 * self.frame_stack, self.image_size, self.image_size)
+
+    # ------------------------------------------------------------ the scene
+    def _build_scene(self, seed):
+        rng = np.random.RandomState(seed + 77)
+        b = ModelBuilder()
+        b.add_geom(0, PLANE, size=(400, 400, 1), material="carla_ground",
+                   contype=0, conaffinity=0, name="ground")
+        for i in range(_N_BUILDINGS):
+            ang = 2 * np.pi * i / _N_BUILDINGS + rng.uniform(-0.1, 0.1)
+            r = _R + (15.0 if i % 2 == 0 else -15.0)
+            h = rng.uniform(4, 14)
+            sx, sy = rng.uniform(3, 8, 2)
+            col = rng.uniform(0.3, 0.8, 3)
+            b.add_geom(0, BOX, size=(sx, sy, h),
+                       pos=(r * np.cos(ang), r * np.sin(ang), h),
+                       quat=np.array([np.cos(ang / 2), 0, 0, np.sin(ang / 2)]),
+                       rgba=(*col, 1.0), material="building",
+                       contype=0, conaffinity=0, name=f"bld{i}")
+        self._traffic_geom0 = len(b.bodies[0].geoms)
+        for i in range(_N_TRAFFIC):
+            col = rng.uniform(0.2, 0.9, 3)
+            b.add_geom(0, BOX, size=(1.0, 2.3, 0.75), pos=(0, 0, 0.75),
+                       rgba=(*col, 1.0), material="vehicle",
+                       contype=0, conaffinity=0, name=f"veh{i}")
+        self.model = b.finalize()
+        self.app = default_appearance(self.model)
+        self._traffic_speeds = jnp.asarray(
+            rng.uniform(3.0, 8.0, _N_TRAFFIC), jnp.float32)
+
+    @staticmethod
+    def _road_color(local_xy, world_p):
+        """Ring-road surface: asphalt within the road band, dashed white
+        centerline, shoulder lines, grass outside."""
+        x, y = world_p[..., 0], world_p[..., 1]
+        r = jnp.sqrt(x * x + y * y) + 1e-6
+        ang = jnp.arctan2(y, x)
+        d = jnp.abs(r - _R)
+        asphalt = jnp.asarray([0.25, 0.25, 0.27])
+        grass = jnp.asarray([0.25, 0.42, 0.20])
+        col = jnp.where((d <= _ROAD_HW)[..., None], asphalt, grass)
+        # dashed centerline: 2 m dashes along arc length
+        dash = jnp.mod(ang * _R, 4.0) < 2.0
+        center = (d < 0.15) & dash
+        col = jnp.where(center[..., None], jnp.asarray([0.9, 0.9, 0.85]), col)
+        edge = (jnp.abs(d - _ROAD_HW) < 0.15)
+        col = jnp.where(edge[..., None], jnp.asarray([0.85, 0.85, 0.8]), col)
+        return col
+
+    # ------------------------------------------------------------- dynamics
+    def _sim_substep(self, state: CarlaState, action):
+        """One 20 fps simulator tick (reference: _simulator_step)."""
+        throttle_brake = action[0]
+        steer = action[1] * _MAX_STEER
+        accel = jnp.where(throttle_brake >= 0, throttle_brake * _ACCEL,
+                          throttle_brake * _BRAKE)
+        speed = jnp.maximum(state.speed + (accel - _DRAG * state.speed) * _DT,
+                            0.0)
+        yaw = state.yaw + speed / _WHEELBASE * jnp.tan(steer) * _DT
+        pos = state.pos + speed * _DT * jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+
+        traffic_ang = state.traffic_ang + self._traffic_speeds / _R * _DT
+
+        sun_t, sun_az, _alt = _sun_tick(state.sun_t, state.sun_azimuth,
+                                        self.weather_speed)
+        storm_t, storm_inc, _c, _r, _f = _storm_tick(
+            state.storm_t, state.storm_inc, self.weather_speed)
+
+        # reward (reference: _get_reward / _get_follow_waypoint_reward)
+        dist_wp = jnp.abs(jnp.linalg.norm(pos) - _R)
+        traffic_pos = self._traffic_positions(traffic_ang)
+        d_traffic = jnp.min(jnp.linalg.norm(traffic_pos - pos[None], axis=1))
+        collided = (d_traffic < _COLLIDE_DIST) | (dist_wp > _BUILDING_HIT)
+        reward = 100.0 * (-dist_wp) + 100.0 * jnp.where(collided, -1.0, 0.0)
+
+        # collision → respawn at a random ring angle (carla_wrapper.py:465-468)
+        rng, k = jax.random.split(state.rng)
+        ang = jax.random.uniform(k, (), minval=0.0, maxval=2 * jnp.pi)
+        spawn_pos = _R * jnp.stack([jnp.cos(ang), jnp.sin(ang)])
+        spawn_yaw = ang + jnp.pi / 2
+        pos = jnp.where(collided, spawn_pos, pos)
+        yaw = jnp.where(collided, spawn_yaw, yaw)
+        speed = jnp.where(collided, 0.0, speed)
+
+        state = state.replace(
+            pos=pos, yaw=yaw, speed=speed, traffic_ang=traffic_ang,
+            sun_t=sun_t, sun_azimuth=sun_az, storm_t=storm_t,
+            storm_inc=storm_inc, rng=rng,
+            collision=jnp.maximum(state.collision, collided.astype(jnp.float32)))
+        return state, reward
+
+    def _traffic_positions(self, traffic_ang):
+        return _R * jnp.stack([jnp.cos(traffic_ang), jnp.sin(traffic_ang)],
+                              axis=1)
+
+    # ------------------------------------------------------------- rendering
+    def _render_frame(self, state: CarlaState, height: Optional[int] = None,
+                      width: Optional[int] = None):
+        h = height or self.image_size
+        w = width or self.image_size
+        f = jnp.float32
+        ngeom = len(self.model.geoms)
+        Rg = jnp.tile(jnp.eye(3, dtype=f)[None], (ngeom, 1, 1))
+        pg = jnp.zeros((ngeom, 3), f)
+        for i, g in enumerate(self.model.geoms):
+            from sgqn_carla_tpu.physics.math3d import quat_to_mat
+            Rg = Rg.at[i].set(quat_to_mat(jnp.asarray(g.quat, f)))
+            pg = pg.at[i].set(jnp.asarray(g.pos, f))
+        # dynamic traffic poses
+        tp = self._traffic_positions(state.traffic_ang)
+        tyaw = state.traffic_ang + jnp.pi / 2
+        for k in range(_N_TRAFFIC):
+            i = self._traffic_geom0 + k
+            cy, sy = jnp.cos(tyaw[k]), jnp.sin(tyaw[k])
+            Rk = jnp.stack([
+                jnp.stack([cy, -sy, jnp.zeros((), f)]),
+                jnp.stack([sy, cy, jnp.zeros((), f)]),
+                jnp.asarray([0.0, 0.0, 1.0], f)])
+            Rg = Rg.at[i].set(Rk)
+            pg = pg.at[i].set(jnp.concatenate([tp[k], jnp.asarray([0.75], f)]))
+
+        # hood camera: 1.6 m up, looking along +yaw, pitched 10° down
+        cy, sy = jnp.cos(state.yaw), jnp.sin(state.yaw)
+        fwd = jnp.stack([cy, sy, jnp.zeros((), f)])
+        right = jnp.stack([sy, -cy, jnp.zeros((), f)])
+        pitch = jnp.deg2rad(10.0)
+        look = fwd * jnp.cos(pitch) - jnp.asarray([0.0, 0.0, 1.0]) * jnp.sin(pitch)
+        up = jnp.cross(right, look)
+        R_cam = jnp.stack([right, up, -look], axis=1)
+        cam = Camera(
+            pos=jnp.concatenate([state.pos, jnp.asarray([1.6], f)])
+            + fwd * 0.5,
+            R=R_cam, fovy=84.0)  # fov 84 (carla_wrapper.py:141)
+
+        rgb, depth, seg = render_scene(
+            self.model, Rg, pg, self.app, cam, h, w,
+            material_color_fns={"carla_ground": self._road_color})
+
+        # ---- weather image effects (Sun altitude, fog, rain)
+        _, _, altitude = _sun_tick(state.sun_t, state.sun_azimuth, 0.0)
+        _, _, clouds, rain, fog = _storm_tick(state.storm_t, state.storm_inc,
+                                              0.0)
+        img = rgb.astype(f) / 255.0
+        brightness = jnp.clip(jnp.sin(jnp.deg2rad(altitude)), 0.35, 1.0)
+        img = img * (0.55 + 0.45 * brightness)
+        # fog: blend toward gray with distance
+        fog_amt = (fog / 30.0) * (1.0 - jnp.exp(-depth / 60.0))
+        img = img * (1 - fog_amt[..., None]) + 0.65 * fog_amt[..., None]
+        # rain speckles (hash noise keyed on pixel + time)
+        ry = jax.random.fold_in(state.rng, state.step_i)
+        noise = jax.random.uniform(ry, img.shape[:2])
+        streaks = (noise < rain / 800.0)[..., None]
+        img = jnp.where(streaks, 0.8, img)
+        frame = jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
+        return jnp.transpose(frame, (2, 0, 1))
+
+    # ------------------------------------------------------------ reset/step
+    def reset(self, rng) -> Tuple[CarlaState, jnp.ndarray]:
+        k_ang, k_traffic, k_next = jax.random.split(rng, 3)
+        ang = jax.random.uniform(k_ang, (), minval=0.0, maxval=2 * jnp.pi)
+        traffic = jax.random.uniform(k_traffic, (_N_TRAFFIC,), minval=0.0,
+                                     maxval=2 * jnp.pi)
+        state = CarlaState(
+            pos=_R * jnp.stack([jnp.cos(ang), jnp.sin(ang)]),
+            yaw=ang + jnp.pi / 2,
+            speed=jnp.float32(0.0),
+            traffic_ang=traffic,
+            sun_t=jnp.float32(0.0),        # reset → sun_altitude 90°
+            sun_azimuth=jnp.float32(0.0),
+            storm_t=jnp.float32(-50.0),
+            storm_inc=jnp.float32(1.0),
+            collision=jnp.float32(0.0),
+            frames=jnp.zeros(self.obs_shape, jnp.uint8),
+            step_i=jnp.int32(0),
+            rng=k_next,
+        )
+        frame = self._render_frame(state)
+        frames = jnp.tile(frame, (self.frame_stack, 1, 1))
+        state = state.replace(frames=frames)
+        obs = self._maybe_blend(state, frames)
+        return state, obs
+
+    def step(self, state: CarlaState, action) -> Tuple[CarlaState, CarlaStepResult]:
+        action = jnp.clip(jnp.asarray(action, jnp.float32), -1.0, 1.0)
+        state = state.replace(collision=jnp.float32(0.0))
+
+        def body(s, _):
+            return self._sim_substep(s, action)
+
+        state, rewards = jax.lax.scan(body, state, None,
+                                      length=self.action_repeat)
+        reward = jnp.mean(rewards)  # mean over frame_skip (step:311-316)
+        state = state.replace(step_i=state.step_i + 1)
+        frame = self._render_frame(state)
+        frames = jnp.concatenate([state.frames[3:], frame], axis=0)
+        state = state.replace(frames=frames)
+        done = state.step_i >= self.max_episode_steps
+        obs = self._maybe_blend(state, frames)
+        return state, CarlaStepResult(obs=obs, reward=reward, done=done)
+
+    def _maybe_blend(self, state: CarlaState, frames):
+        """color_easy: α-blend each frame with a dataset image at α=0.5
+        (reference: ColorWrapper_carla.step, env/wrappers.py:214-223)."""
+        if self.blend_pool is None:
+            return frames
+        k = jax.random.fold_in(state.rng, state.step_i + 7)
+        idx = jax.random.randint(k, (self.frame_stack,), 0,
+                                 self.blend_pool.shape[0])
+        blend = self.blend_pool[idx]  # (K, 3, H, W) [0,1]
+        blend = blend.reshape(self.obs_shape) * 255.0
+        return (0.5 * frames.astype(jnp.float32) + 0.5 * blend).astype(jnp.uint8)
+
+    def render_eval(self, state: CarlaState, size: int = 448):
+        return jnp.transpose(self._render_frame(state, size, size), (1, 2, 0))
+
+
+def make_carla_env(domain_name="carla", task_name="drive", seed=0,
+                   episode_length=600, frame_stack=3, action_repeat=4,
+                   image_size=84, mode="train", intensity=0.0, **kw):
+    """Factory with the make_env signature so `run_training` drives the twin
+    (the reference builds train env on port 2000 + a color_easy test env on
+    port 2003, train_carla.py:98-152 — ports become just instances here)."""
+    return CarlaTwinEnv(mode=mode, image_size=image_size,
+                        action_repeat=action_repeat, frame_stack=frame_stack,
+                        episode_length=episode_length, seed=seed)

@@ -379,10 +379,11 @@ class ModelBuilder:
             pp = np.zeros(3) if par < 0 else p0[par]
             R0[i] = Rp @ _quat_to_mat_np(link_quat[i])
             p0[i] = pp + Rp @ link_pos[i]
-        masses = np.asarray(link_mass)
+        masses = np.asarray(link_mass).reshape(nl)
         total_mass = masses.sum()
+        coms = np.asarray(link_com, np.float64).reshape(nl, 3)
         com0 = (
-            (masses[:, None] * (p0 + np.einsum("nij,nj->ni", R0, np.asarray(link_com)))
+            (masses[:, None] * (p0 + np.einsum("nij,nj->ni", R0, coms))
              ).sum(0) / max(total_mass, 1e-12)
         )
 
@@ -409,20 +410,20 @@ class ModelBuilder:
             integrator=self.integrator,
             gravity=self.gravity,
             link_parent=np.asarray(link_parent, np.int32),
-            link_pos=np.asarray(link_pos, np.float64),
-            link_quat=np.asarray(link_quat, np.float64),
+            link_pos=np.asarray(link_pos, np.float64).reshape(nl, 3),
+            link_quat=np.asarray(link_quat, np.float64).reshape(nl, 4),
             jnt_type=np.asarray(link_jtype, np.int32),
-            jnt_axis=np.asarray(link_jaxis, np.float64),
-            jnt_pos=np.asarray(link_jpos, np.float64),
+            jnt_axis=np.asarray(link_jaxis, np.float64).reshape(nl, 3),
+            jnt_pos=np.asarray(link_jpos, np.float64).reshape(nl, 3),
             jnt_damping=np.asarray(link_damping, np.float64),
             jnt_armature=np.asarray(link_armature, np.float64),
             jnt_stiffness=np.asarray(link_stiffness, np.float64),
             jnt_springref=np.asarray(link_springref, np.float64),
             jnt_limited=np.asarray(link_limited, bool),
-            jnt_range=np.asarray(link_range, np.float64),
+            jnt_range=np.asarray(link_range, np.float64).reshape(nl, 2),
             link_mass=np.asarray(link_mass, np.float64),
-            link_com=np.asarray(link_com, np.float64),
-            link_inertia=np.asarray(link_inertia, np.float64),
+            link_com=np.asarray(link_com, np.float64).reshape(nl, 3),
+            link_inertia=np.asarray(link_inertia, np.float64).reshape(nl, 3, 3),
             act_dof=np.asarray(act_dof, np.int32),
             act_gear=np.asarray(self.actuator_gear, np.float64),
             geoms=geoms,

@@ -208,6 +208,7 @@ def render_scene(
     width: int,
     background: Optional[jnp.ndarray] = None,  # (H, W, 3) float [0,1]
     bg_mask_materials: Tuple[str, ...] = (),
+    material_color_fns: Optional[dict] = None,  # name → fn(local_xy, world_p)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Trace the scene. Returns (rgb uint8 (H,W,3), depth f32, seg int32).
 
@@ -246,7 +247,10 @@ def render_scene(
         base_rgb = app.geom_rgba[i, :3]
         if g.gtype == PLANE:
             t, n, local = _isect_plane(o, d, R_i, p_i, g.size)
-            if g.material == "grid":
+            if material_color_fns and g.material in material_color_fns:
+                hit_p = o + d * t[..., None]
+                col = material_color_fns[g.material](local, hit_p)
+            elif g.material == "grid":
                 col = _checker_color(local, app)
             else:
                 col = jnp.broadcast_to(base_rgb, d.shape)
