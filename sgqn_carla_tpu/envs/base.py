@@ -116,6 +116,10 @@ class DMCPixelEnv:
         if self.mode == "distracting_cs":
             cam = cam._replace(pos=cam.pos + state.cam_pos_off)
         Rg, pg = engine.geom_world(self.task.model, kin)
+        if self.task.render_overrides_fn is not None:
+            for idx, pos in self.task.render_overrides_fn(
+                    self.task.model, state.phys).items():
+                pg = pg.at[idx].set(pos)
         background = None
         bg_mats: Tuple[str, ...] = ()
         if self.videos is not None:

@@ -40,7 +40,11 @@ def _ensure_imported():
     if _IMPORTED:
         return
     from sgqn_carla_tpu.physics.domains import (  # noqa: F401
+        ball_in_cup,
         cartpole,
+        cheetah,
+        finger,
+        reacher,
         walker,
     )
     _IMPORTED = True

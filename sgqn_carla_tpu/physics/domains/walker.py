@@ -50,19 +50,22 @@ def make_model():
                     range=(_D(-20), _D(100)), damping=0.1, armature=0.01,
                     name=f"{side}_hip")
         b.add_geom(thigh, CAPSULE, size=(0.05, 0.225), pos=(0, 0, -0.225),
-                   material="self", name=f"{side}_thigh", friction=0.7)
+                   material="self", name=f"{side}_thigh", friction=0.7,
+                   contype=1, conaffinity=0)
         leg_ = b.add_body(thigh, pos=(0, 0, -0.7), name=f"{side}_leg")
         b.add_joint(leg_, HINGE, axis=(0, -1, 0), pos=(0, 0, 0.25), limited=True,
                     range=(_D(-150), _D(0)), damping=0.1, armature=0.01,
                     name=f"{side}_knee")
         b.add_geom(leg_, CAPSULE, size=(0.04, 0.25), material="self",
-                   name=f"{side}_leg", friction=0.7)
+                   name=f"{side}_leg", friction=0.7, contype=1,
+                   conaffinity=0)
         foot = b.add_body(leg_, pos=(0.06, 0, -0.25), name=f"{side}_foot")
         b.add_joint(foot, HINGE, axis=(0, -1, 0), pos=(-0.06, 0, 0), limited=True,
                     range=(_D(-45), _D(45)), damping=0.1, armature=0.01,
                     name=f"{side}_ankle")
         b.add_geom(foot, CAPSULE, size=(0.05, 0.1), zaxis=(1, 0, 0),
-                   material="self", name=f"{side}_foot", friction=0.7)
+                   material="self", name=f"{side}_foot", friction=0.7,
+                   contype=1, conaffinity=0)
 
     leg("right", +1)
     leg("left", -1)

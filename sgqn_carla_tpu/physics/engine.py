@@ -46,6 +46,7 @@ class Kin(NamedTuple):
     com: jnp.ndarray      # (nl, 3) link COM positions
     axis_w: jnp.ndarray   # (nl, 3) world joint axes
     anchor_w: jnp.ndarray # (nl, 3) world joint anchors
+    q: jnp.ndarray = None # (nl, 4) link orientation quaternions
 
 
 class StepOut(NamedTuple):
@@ -67,109 +68,112 @@ def _ancestors(model: Model) -> np.ndarray:
 
 
 def forward_kinematics(model: Model, qpos, qvel) -> Kin:
+    """Quaternion-based FK: the per-link chain is inherently sequential
+    (unrolled, nl ≤ ~10), but every op is elementwise quaternion math on the
+    VPU — no tiny 3×3 matmuls that would land as ~0.05%-utilized MXU ops.
+    Everything downstream (velocities, rotation matrices, COMs) is computed
+    in one batched op over links."""
     nl = model.nl
-    Rs, ps, Ss, vs, coms, axes, anchors = [], [], [], [], [], [], []
+    dtype = qpos.dtype
+    qs, ps, Ss, axes, anchors = [], [], [], [], []
+    theta = qpos - jnp.asarray(model.jnt_ref, dtype)  # MuJoCo `ref`
     for i in range(nl):
         par = int(model.link_parent[i])
         if par < 0:
-            R_p = jnp.eye(3, dtype=qpos.dtype)
-            p_p = jnp.zeros(3, dtype=qpos.dtype)
-            v_p = jnp.zeros(6, dtype=qpos.dtype)
+            q_p = jnp.asarray([1.0, 0, 0, 0], dtype)
+            p_p = jnp.zeros(3, dtype)
         else:
-            R_p, p_p, v_p = Rs[par], ps[par], vs[par]
-        R_off = jnp.asarray(m3.quat_to_mat(jnp.asarray(model.link_quat[i], qpos.dtype)))
-        R0 = R_p @ R_off
-        p0 = p_p + R_p @ jnp.asarray(model.link_pos[i], qpos.dtype)
-        n = R0 @ jnp.asarray(model.jnt_axis[i], qpos.dtype)
-        a = p0 + R0 @ jnp.asarray(model.jnt_pos[i], qpos.dtype)
-        q = qpos[i]
+            q_p, p_p = qs[par], ps[par]
+        q_off = jnp.asarray(model.link_quat[i], dtype)
+        if np.allclose(model.link_quat[i], [1.0, 0, 0, 0]):
+            q0 = q_p
+        else:
+            q0 = m3.quat_mul(q_p, q_off)
+        p0 = p_p + m3.quat_rotate(q_p, jnp.asarray(model.link_pos[i], dtype))
+        n = m3.quat_rotate(q0, jnp.asarray(model.jnt_axis[i], dtype))
+        a = p0 + m3.quat_rotate(q0, jnp.asarray(model.jnt_pos[i], dtype))
         if int(model.jnt_type[i]) == HINGE:
-            Rj = m3.quat_to_mat(m3.quat_from_axis_angle(n, q))
-            R_i = Rj @ R0
-            p_i = a + Rj @ (p0 - a)
+            q_rot = m3.quat_from_axis_angle(n, theta[i])
+            q_i = m3.quat_mul(q_rot, q0)
+            p_i = a + m3.quat_rotate(q_rot, p0 - a)
             S_i = jnp.concatenate([n, jnp.cross(a, n)])
         else:  # SLIDE
-            R_i = R0
-            p_i = p0 + n * q
-            S_i = jnp.concatenate([jnp.zeros(3, dtype=qpos.dtype), n])
-        v_i = v_p + S_i * qvel[i]
-        com_i = p_i + R_i @ jnp.asarray(model.link_com[i], qpos.dtype)
-        Rs.append(R_i); ps.append(p_i); Ss.append(S_i); vs.append(v_i)
-        coms.append(com_i); axes.append(n); anchors.append(a)
-    return Kin(
-        jnp.stack(Rs), jnp.stack(ps), jnp.stack(Ss), jnp.stack(vs),
-        jnp.stack(coms), jnp.stack(axes), jnp.stack(anchors),
-    )
+            q_i = q0
+            p_i = p0 + n * theta[i]
+            S_i = jnp.concatenate([jnp.zeros(3, dtype), n])
+        qs.append(q_i); ps.append(p_i); Ss.append(S_i)
+        axes.append(n); anchors.append(a)
+    q_all = jnp.stack(qs)
+    p_all = jnp.stack(ps)
+    S_all = jnp.stack(Ss)
+    R_all = m3.quat_to_mat(q_all)
+    anc_f = jnp.asarray(_ancestors(model).astype(np.float32), dtype)
+    # v_i = Σ_{j ancestor-or-self} S_j qd_j  — one dense matmul
+    v_all = anc_f @ (S_all * qvel[:, None])
+    com_all = p_all + m3.quat_rotate(q_all, jnp.asarray(model.link_com, dtype))
+    return Kin(R_all, p_all, S_all, v_all, com_all,
+               jnp.stack(axes), jnp.stack(anchors), q_all)
+
+
+def _spatial_inertias(model: Model, kin: Kin) -> jnp.ndarray:
+    """(nl, 6, 6) world-frame spatial inertias, batched over links."""
+    dtype = kin.R.dtype
+    I_local = jnp.asarray(model.link_inertia, dtype)        # (nl, 3, 3)
+    I_com = jnp.einsum("nij,njk,nlk->nil", kin.R, I_local, kin.R)
+    return m3.spatial_inertia(jnp.asarray(model.link_mass, dtype),
+                              kin.com, I_com)
+
+
+def _masked_jacobians(model: Model, kin: Kin) -> jnp.ndarray:
+    """(nl, nv, 6): J[i, j] = S_j if dof j supports link i else 0."""
+    anc_f = jnp.asarray(_ancestors(model).astype(np.float32), kin.R.dtype)
+    return anc_f[:, :, None] * kin.S[None, :, :]
 
 
 def mass_matrix(model: Model, kin: Kin) -> jnp.ndarray:
-    """CRBA. Returns (nv, nv) joint-space inertia incl. armature."""
-    nl = model.nl
-    Iw = []
-    for i in range(nl):
-        R = kin.R[i]
-        I_com = R @ jnp.asarray(model.link_inertia[i], kin.R.dtype) @ R.T
-        Iw.append(m3.spatial_inertia(jnp.asarray(model.link_mass[i], kin.R.dtype),
-                                     kin.com[i], I_com))
-    Ic = list(Iw)
-    for i in reversed(range(nl)):
-        par = int(model.link_parent[i])
-        if par >= 0:
-            Ic[par] = Ic[par] + Ic[i]
-    M = [[None] * nl for _ in range(nl)]
-    for i in range(nl):
-        F = Ic[i] @ kin.S[i]
-        M[i][i] = kin.S[i] @ F + jnp.asarray(model.jnt_armature[i], kin.R.dtype)
-        j = int(model.link_parent[i])
-        while j >= 0:
-            mij = kin.S[j] @ F
-            M[i][j] = mij
-            M[j][i] = mij
-            j = int(model.link_parent[j])
-    zero = jnp.zeros((), dtype=kin.R.dtype)
-    rows = [jnp.stack([M[i][j] if M[i][j] is not None else zero for j in range(nl)])
-            for i in range(nl)]
-    return jnp.stack(rows)
+    """CRBA as one dense einsum: M = Σ_i J_iᵀ I_i J_i (+armature).
+    Equivalent to the classic composite recursion, but lands on the MXU as
+    a handful of (nl·nv, 6)-shaped contractions instead of hundreds of tiny
+    per-link dots."""
+    Iw = _spatial_inertias(model, kin)
+    J = _masked_jacobians(model, kin)
+    M = jnp.einsum("inj,ijk,imk->nm", J, Iw, J)
+    return M + jnp.diag(jnp.asarray(model.jnt_armature, kin.R.dtype))
 
 
 def bias_forces(model: Model, kin: Kin, qvel) -> jnp.ndarray:
-    """RNEA with qacc = 0: Coriolis + centrifugal + gravity. (nv,)"""
-    nl = model.nl
-    g = jnp.asarray(model.gravity, kin.R.dtype)
-    a_base = jnp.concatenate([jnp.zeros(3, dtype=kin.R.dtype), -g])
-    accs, fs = [], []
-    for i in range(nl):
-        par = int(model.link_parent[i])
-        a_p = a_base if par < 0 else accs[par]
-        a_i = a_p + m3.crm(kin.v[i], kin.S[i] * qvel[i])
-        R = kin.R[i]
-        I_com = R @ jnp.asarray(model.link_inertia[i], kin.R.dtype) @ R.T
-        Iw = m3.spatial_inertia(jnp.asarray(model.link_mass[i], kin.R.dtype),
-                                kin.com[i], I_com)
-        f_i = Iw @ a_i + m3.crf(kin.v[i], Iw @ kin.v[i])
-        accs.append(a_i); fs.append(f_i)
-    fsub = list(fs)
-    for i in reversed(range(nl)):
-        par = int(model.link_parent[i])
-        if par >= 0:
-            fsub[par] = fsub[par] + fsub[i]
-    return jnp.stack([kin.S[i] @ fsub[i] for i in range(model.nl)])
+    """RNEA (qacc = 0) vectorized: link accelerations from the per-dof
+    velocity-product terms summed over ancestor masks; C = Σ J_iᵀ f_i."""
+    dtype = kin.R.dtype
+    g = jnp.asarray(model.gravity, dtype)
+    a_base = jnp.concatenate([jnp.zeros(3, dtype), -g])
+    anc_f = jnp.asarray(_ancestors(model).astype(np.float32), dtype)
+    # per-dof velocity-product term: crm(v_link(j)) S_j qd_j  (link j == dof j)
+    gterm = m3.crm(kin.v, kin.S * qvel[:, None])            # (nv, 6)
+    a = a_base[None, :] + anc_f @ gterm                      # (nl, 6)
+    Iw = _spatial_inertias(model, kin)
+    Iv = jnp.einsum("ijk,ik->ij", Iw, kin.v)
+    f = jnp.einsum("ijk,ik->ij", Iw, a) + m3.crf(kin.v, Iv)  # (nl, 6)
+    J = _masked_jacobians(model, kin)
+    return jnp.einsum("inj,ij->n", J, f)
 
 
 # ----------------------------------------------------------------- geometry
 def geom_world(model: Model, kin: Kin):
-    """World pose of every geom: (ngeom, 3, 3) R and (ngeom, 3) p."""
-    Rs, ps = [], []
-    for g in model.geoms:
-        Rg = m3.quat_to_mat(jnp.asarray(g.quat, kin.R.dtype))
-        pg = jnp.asarray(g.pos, kin.R.dtype)
-        if g.link < 0:
-            Rs.append(Rg)
-            ps.append(pg)
-        else:
-            Rs.append(kin.R[g.link] @ Rg)
-            ps.append(kin.p[g.link] + kin.R[g.link] @ pg)
-    return jnp.stack(Rs), jnp.stack(ps)
+    """World pose of every geom: (ngeom, 3, 3) R and (ngeom, 3) p — one
+    batched quaternion op over the geom list (a virtual identity link is
+    appended for world-attached geoms)."""
+    dtype = kin.R.dtype
+    links = np.array([g.link if g.link >= 0 else model.nl for g in model.geoms])
+    gq = jnp.asarray(np.stack([g.quat for g in model.geoms]), dtype)
+    gp = jnp.asarray(np.stack([g.pos for g in model.geoms]), dtype)
+    ident = jnp.asarray([[1.0, 0, 0, 0]], dtype)
+    q_ext = jnp.concatenate([kin.q, ident], axis=0)
+    p_ext = jnp.concatenate([kin.p, jnp.zeros((1, 3), dtype)], axis=0)
+    ql = q_ext[links]
+    Rg = m3.quat_to_mat(m3.quat_mul(ql, gq))
+    pg = p_ext[links] + m3.quat_rotate(ql, gp)
+    return Rg, pg
 
 
 def _point_velocity(kin: Kin, link: int, x):
@@ -223,8 +227,10 @@ def _contacts_for_pair(model, kin, gi, gj, Rg, pg):
                         out.append((corner - n * dist, n, -dist, mu))
         else:
             raise NotImplementedError(f"plane vs geom type {a.gtype}")
-    elif a.gtype in (SPHERE, CAPSULE) and b.gtype in (SPHERE, CAPSULE):
-        # closest points between the two core segments (sphere = 0-length)
+    elif (a.gtype in (SPHERE, CAPSULE, CYLINDER)
+          and b.gtype in (SPHERE, CAPSULE, CYLINDER)):
+        # closest points between the two core segments (sphere = 0-length;
+        # cylinders approximated as capsules — only decorations use them)
         def seg(g, R, p):
             if g.gtype == SPHERE:
                 return p, p
@@ -299,6 +305,41 @@ def contact_taus(model: Model, kin: Kin, Rg, pg, anc: np.ndarray):
     return tau, pf
 
 
+def _point_force_taus(kin: Kin, anc: np.ndarray, link: int, x, f3, nl: int):
+    """Generalized forces from a world-frame force f3 applied at world point
+    x on `link` (Jacobian-transpose via the Plücker motion subspaces)."""
+    if link < 0:
+        return 0.0
+    f6 = jnp.concatenate([jnp.cross(x, f3), f3])
+    proj = kin.S @ f6
+    return jnp.asarray(anc[link].astype(np.float32), dtype=f3.dtype) * proj
+
+
+def tendon_taus(model: Model, kin: Kin, anc: np.ndarray):
+    """Limited spatial tendons as one-sided stiff springs (ball_in_cup's
+    string, reference: suite/ball_in_cup.xml tendon range 0-0.3)."""
+    nl = model.nl
+    tau = jnp.zeros(nl, dtype=kin.R.dtype)
+    for t in model.tendons:
+        pa = (kin.p[t.link_a] + kin.R[t.link_a] @ jnp.asarray(t.pos_a, kin.R.dtype)
+              if t.link_a >= 0 else jnp.asarray(t.pos_a, kin.R.dtype))
+        pb = (kin.p[t.link_b] + kin.R[t.link_b] @ jnp.asarray(t.pos_b, kin.R.dtype)
+              if t.link_b >= 0 else jnp.asarray(t.pos_b, kin.R.dtype))
+        delta = pa - pb
+        length = jnp.linalg.norm(delta) + 1e-9
+        dirn = delta / length
+        stretch = jnp.maximum(length - t.range[1], 0.0)
+        va = _point_velocity(kin, t.link_a, pa)
+        vb = _point_velocity(kin, t.link_b, pb)
+        rate = (va - vb) @ dirn
+        fmag = t.stiffness * stretch + jnp.where(stretch > 0,
+                                                 t.damping * rate, 0.0)
+        f3 = -jnp.maximum(fmag, 0.0) * dirn  # pull a toward b when taut
+        tau = tau + _point_force_taus(kin, anc, t.link_a, pa, f3, nl)
+        tau = tau + _point_force_taus(kin, anc, t.link_b, pb, -f3, nl)
+    return tau
+
+
 def limit_taus(model: Model, qpos, qvel):
     """One-sided penalty springs at joint limits."""
     lo = jnp.asarray(model.jnt_range[:, 0], qpos.dtype)
@@ -333,7 +374,13 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
     tau = tau - jnp.asarray(model.jnt_stiffness, dtype) * (
         qpos - jnp.asarray(model.jnt_springref, dtype)
     )
+    # dry friction (MuJoCo frictionloss), smoothed sign
+    if np.any(model.jnt_frictionloss):
+        tau = tau - jnp.asarray(model.jnt_frictionloss, dtype) * jnp.tanh(
+            qvel / 0.01)
     tau = tau + limit_taus(model, qpos, qvel)
+    if model.tendons:
+        tau = tau + tendon_taus(model, kin, anc)
     if len(model.contact_pairs):
         Rg, pg = geom_world(model, kin)
         tau_c, pair_f = contact_taus(model, kin, Rg, pg, anc)
@@ -379,37 +426,39 @@ def n_steps(model: Model, qpos, qvel, ctrl, n: int) -> StepOut:
     return StepOut(q, qd, pf.max(axis=0))
 
 
+def max_penetration(model: Model, qpos) -> jnp.ndarray:
+    """Deepest contact penetration at configuration `qpos` (≤ 0 ⇒ free).
+    Backs collision-free episode initialization (the reference's retry loop
+    checks physics.data.ncon == 0, suite/finger.py:206-216)."""
+    qvel = jnp.zeros_like(qpos)
+    kin = forward_kinematics(model, qpos, qvel)
+    Rg, pg = geom_world(model, kin)
+    depths = [jnp.float32(-1.0)]
+    for (gi, gj) in model.contact_pairs:
+        for (x, n, depth, mu, la, lb) in _contacts_for_pair(
+                model, kin, int(gi), int(gj), Rg, pg):
+            depths.append(depth)
+    return jnp.max(jnp.stack(depths))
+
+
 # ------------------------------------------------------------------ sensors
+def _subtree_weights(model: Model, root_dof: int):
+    anc = _ancestors(model)
+    w = np.asarray(model.link_mass) * anc[:, root_dof]
+    return w, max(w.sum(), 1e-12)
+
+
 def subtree_com(model: Model, kin: Kin, root_dof: int) -> jnp.ndarray:
     """Mass-weighted COM position of the subtree rooted at link `root_dof`."""
-    anc = _ancestors(model)
-    total_m = 0.0
-    s = jnp.zeros(3, dtype=kin.R.dtype)
-    for i in range(model.nl):
-        if not anc[i, root_dof]:
-            continue
-        mi = float(model.link_mass[i])
-        if mi == 0.0:
-            continue
-        s = s + mi * kin.com[i]
-        total_m += mi
-    return s / max(total_m, 1e-12)
+    w, total = _subtree_weights(model, root_dof)
+    wj = jnp.asarray(w, kin.R.dtype)
+    return (wj @ kin.com) / total
 
 
 def subtree_linvel(model: Model, kin: Kin, root_dof: int) -> jnp.ndarray:
     """Mass-weighted COM velocity of the subtree rooted at link `root_dof`
     (MuJoCo `subtreelinvel` sensor, used by walker/cheetah speed)."""
-    anc = _ancestors(model)
-    total_m = 0.0
-    mom = jnp.zeros(3, dtype=kin.R.dtype)
-    for i in range(model.nl):
-        if not anc[i, root_dof]:
-            continue
-        mi = float(model.link_mass[i])
-        if mi == 0.0:
-            continue
-        w, v0 = kin.v[i][:3], kin.v[i][3:]
-        v_com = jnp.cross(w, kin.com[i]) + v0
-        mom = mom + mi * v_com
-        total_m += mi
-    return mom / max(total_m, 1e-12)
+    w, total = _subtree_weights(model, root_dof)
+    wj = jnp.asarray(w, kin.R.dtype)
+    v_com = jnp.cross(kin.v[:, :3], kin.com) + kin.v[:, 3:]
+    return (wj @ v_com) / total

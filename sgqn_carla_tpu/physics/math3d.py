@@ -89,6 +89,15 @@ def zaxis_to_quat_np(z):
     return np.concatenate([[np.cos(angle / 2)], axis * np.sin(angle / 2)])
 
 
+def quat_rotate(q, v):
+    """Rotate vector(s) v by unit quaternion(s) q — pure elementwise VPU work
+    (no 3×3 matmul; t = 2 q_vec × v; v' = v + w t + q_vec × t)."""
+    qv = q[..., 1:]
+    w = q[..., :1]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + w * t + jnp.cross(qv, t)
+
+
 # -------------------------------------------------------------- 3D utilities
 def cross_mat(v):
     """Skew-symmetric matrix of (..., 3)."""

@@ -164,6 +164,22 @@ class JointSpec:
     limited: bool = False
     range: Tuple[float, float] = (0.0, 0.0)
     name: str = ""
+    ref: float = 0.0          # qpos at the XML pose (MuJoCo `ref`)
+    frictionloss: float = 0.0
+
+
+@dataclass
+class TendonSpec:
+    """Two-site spatial tendon with a length limit (MuJoCo <spatial limited>;
+    used by ball_in_cup's string). Links/points resolved at finalize."""
+
+    link_a: int
+    pos_a: np.ndarray
+    link_b: int
+    pos_b: np.ndarray
+    range: Tuple[float, float] = (0.0, 0.3)
+    stiffness: float = 2000.0
+    damping: float = 5.0
 
 
 @dataclass
@@ -193,16 +209,20 @@ class _BodySpec:
 class ModelBuilder:
     """Author a model the MJCF way, but in python (no XML on the hot path)."""
 
-    def __init__(self, timestep=0.0025, gravity=(0, 0, -9.81), integrator="euler"):
+    def __init__(self, timestep=0.0025, gravity=(0, 0, -9.81), integrator="euler",
+                 settotalmass: Optional[float] = None):
         self.timestep = timestep
         self.gravity = np.asarray(gravity, np.float64)
         self.integrator = integrator
+        self.settotalmass = settotalmass  # MuJoCo <compiler settotalmass>
         self.bodies: List[_BodySpec] = [
             _BodySpec(-1, np.zeros(3), np.array([1.0, 0, 0, 0]), [], [], "world")
         ]
         self.cameras: List[CameraSpec] = []
         self.actuator_joint: List[str] = []
         self.actuator_gear: List[float] = []
+        self.tendons: List[TendonSpec] = []
+        self._tendon_bodies: List[Tuple] = []
         self.contact_solref = (0.02, 1.0)
 
     # -- authoring -----------------------------------------------------------
@@ -222,16 +242,24 @@ class ModelBuilder:
 
     def add_joint(self, body: int, jtype, axis=(0, 0, 1), pos=(0, 0, 0),
                   damping=0.0, armature=0.0, stiffness=0.0, springref=0.0,
-                  limited=False, range=(0.0, 0.0), name=""):
+                  limited=False, range=(0.0, 0.0), name="", ref=0.0,
+                  frictionloss=0.0):
         self.bodies[body].joints.append(
             JointSpec(jtype, np.asarray(axis, np.float64), np.asarray(pos, np.float64),
                       damping, armature, stiffness, springref, limited,
-                      tuple(range), name)
+                      tuple(range), name, ref, frictionloss)
         )
 
+    def add_tendon(self, body_a: int, pos_a, body_b: int, pos_b,
+                   range=(0.0, 0.3), stiffness=2000.0, damping=5.0):
+        self._tendon_bodies.append(
+            (body_a, np.asarray(pos_a, np.float64), body_b,
+             np.asarray(pos_b, np.float64), tuple(range), stiffness, damping))
+
     def add_geom(self, body: int, gtype, size, pos=(0, 0, 0), quat=None,
-                 zaxis=None, fromto=None, rgba=(0.5, 0.5, 0.5, 1), name="",
-                 material="self", contype=1, conaffinity=0, friction=0.7,
+                 zaxis=None, fromto=None, euler_deg=None,
+                 rgba=(0.5, 0.5, 0.5, 1), name="",
+                 material="self", contype=1, conaffinity=1, friction=0.7,
                  mass=None, group=0):
         size = np.asarray(np.broadcast_to(np.asarray(size, np.float64), (3,))
                           if np.asarray(size).ndim == 0 else size, np.float64)
@@ -246,6 +274,8 @@ class ModelBuilder:
             size = np.array([size[0], hl, 0.0])
         elif zaxis is not None:
             quat = zaxis_to_quat_np(zaxis)
+        elif euler_deg is not None:
+            quat = _euler_deg_to_quat_np(euler_deg)
         elif quat is None:
             quat = np.array([1.0, 0, 0, 0])
         self.bodies[body].geoms.append(
@@ -289,6 +319,7 @@ class ModelBuilder:
         link_jtype, link_jaxis, link_jpos = [], [], []
         link_damping, link_armature, link_stiffness, link_springref = [], [], [], []
         link_limited, link_range = [], []
+        link_ref, link_frictionloss = [], []
         link_mass, link_com, link_inertia = [], [], []
         joint_names = []
         body_to_link = {0: -1}  # world
@@ -336,6 +367,8 @@ class ModelBuilder:
                 link_springref.append(j.springref)
                 link_limited.append(j.limited)
                 link_range.append(j.range)
+                link_ref.append(j.ref)
+                link_frictionloss.append(j.frictionloss)
                 joint_names.append(j.name or f"{body.name}_j{ji}")
                 last = ji == len(joints) - 1
                 link_mass.append(m_tot if last else 0.0)
@@ -346,6 +379,20 @@ class ModelBuilder:
             for g in body.geoms:
                 g = dataclasses.replace(g, link=nl - 1)
                 geoms.append(g)
+
+        # settotalmass: rescale so Σ mass == target (MuJoCo compiler option,
+        # used by cheetah.xml:6)
+        if self.settotalmass is not None:
+            total = sum(link_mass)
+            scale = self.settotalmass / max(total, 1e-12)
+            link_mass = [m * scale for m in link_mass]
+            link_inertia = [I * scale for I in link_inertia]
+
+        # tendons: resolve body ids → link ids
+        tendons = [
+            TendonSpec(body_to_link[ba], pa, body_to_link[bb], pb, rng_, k, c)
+            for (ba, pa, bb, pb, rng_, k, c) in self._tendon_bodies
+        ]
 
         # actuators
         act_dof = [joint_names.index(n) for n in self.actuator_joint]
@@ -421,6 +468,9 @@ class ModelBuilder:
             jnt_springref=np.asarray(link_springref, np.float64),
             jnt_limited=np.asarray(link_limited, bool),
             jnt_range=np.asarray(link_range, np.float64).reshape(nl, 2),
+            jnt_ref=np.asarray(link_ref, np.float64),
+            jnt_frictionloss=np.asarray(link_frictionloss, np.float64),
+            tendons=tendons,
             link_mass=np.asarray(link_mass, np.float64),
             link_com=np.asarray(link_com, np.float64).reshape(nl, 3),
             link_inertia=np.asarray(link_inertia, np.float64).reshape(nl, 3, 3),
@@ -478,6 +528,9 @@ class Model:
     jnt_springref: np.ndarray
     jnt_limited: np.ndarray
     jnt_range: np.ndarray
+    jnt_ref: np.ndarray
+    jnt_frictionloss: np.ndarray
+    tendons: List[TendonSpec]
     link_mass: np.ndarray
     link_com: np.ndarray
     link_inertia: np.ndarray

@@ -46,6 +46,10 @@ class Task:
     reward_fn: Callable  # (model, PhysState, kin, ctrl) -> jnp scalar
     camera_id: int = 0
     time_limit: float = 25.0
+    # optional: per-episode world-geom pose overrides for rendering (e.g.
+    # reacher/finger targets whose positions the reference mutates in
+    # model.geom_pos / site_pos): (model, PhysState) -> {geom_idx: pos(3,)}
+    render_overrides_fn: Optional[Callable] = None
 
     @property
     def action_size(self) -> int:

@@ -238,7 +238,14 @@ def render_scene(
     d = d.reshape(-1, 3)
     o = camera.pos.astype(f)
 
-    ts, normals, colors, geom_ids = [], [], [], []
+    # running closest-hit state (gather-free: TPU hates argmin+gather over a
+    # stacked (G, P) tensor; a where-chain over the static geom list fuses
+    # into pure elementwise VPU work instead)
+    t_min = jnp.full(d.shape[:1], _INF, f)
+    n_min = jnp.zeros_like(d)
+    c_min = jnp.zeros_like(d)
+    seg = jnp.full(d.shape[:1], -1, jnp.int32)
+
     for i, g in enumerate(model.geoms):
         if g.group > 2 or g.rgba[3] == 0.0:
             continue
@@ -279,42 +286,33 @@ def render_scene(
             col = jnp.broadcast_to(base_rgb, d.shape)
         else:
             continue
-        ts.append(t)
-        normals.append(n)
-        colors.append(col)
-        geom_ids.append(i)
+        # gather-free closest-hit update: a where-chain over the static geom
+        # list fuses into elementwise VPU work (argmin + take_along_axis
+        # gathers over a stacked (G, P) tensor are pathological on TPU)
+        closer = t < t_min
+        t_min = jnp.where(closer, t, t_min)
+        n_min = jnp.where(closer[..., None], n, n_min)
+        c_min = jnp.where(closer[..., None], col, c_min)
+        seg = jnp.where(closer, i, seg)
 
-    T = jnp.stack(ts)                    # (G, P)
-    N = jnp.stack(normals)               # (G, P, 3)
-    C = jnp.stack(colors)                # (G, P, 3)
-    winner = jnp.argmin(T, axis=0)       # (P,)
-    t_min = jnp.take_along_axis(T, winner[None], axis=0)[0]
     hit = t_min < _INF * 0.5
-    n_w = jnp.take_along_axis(N, winner[None, :, None], axis=0)[0]
-    c_w = jnp.take_along_axis(C, winner[None, :, None], axis=0)[0]
 
     # headlight shading (reference: common/visual.xml — ambient .4 diffuse .8)
-    ndotl = jnp.maximum(-jnp.sum(n_w * d, axis=-1), 0.0)
+    ndotl = jnp.maximum(-jnp.sum(n_min * d, axis=-1), 0.0)
     shade = jnp.clip(0.4 + 0.8 * ndotl, 0.0, 1.3)[..., None]
-    rgb = c_w * shade
+    rgb = c_min * shade
 
     sky = _sky_color(d, app)
     rgb = jnp.where(hit[..., None], rgb, sky)
-
-    geom_id_arr = jnp.asarray(np.array(geom_ids, np.int32))
-    seg = jnp.where(hit, geom_id_arr[winner], -1)
+    seg = jnp.where(hit, seg, -1)
 
     if background is not None:
         bg = background.reshape(-1, 3).astype(f)
         bg_mask = ~hit
         if bg_mask_materials:
-            mat_ids = np.array(
-                [gid for gid in geom_ids
-                 if model.geoms[gid].material in bg_mask_materials],
-                np.int32,
-            )
-            for gid in mat_ids:
-                bg_mask = bg_mask | (seg == int(gid))
+            for gid, g in enumerate(model.geoms):
+                if g.material in bg_mask_materials:
+                    bg_mask = bg_mask | (seg == gid)
         rgb = jnp.where(bg_mask[..., None], bg, rgb)
 
     rgb8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)

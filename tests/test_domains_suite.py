@@ -1,0 +1,120 @@
+"""Suite-wide property tests over every registered (domain, task) —
+modeled on the reference's domains_test harness (reference:
+src/env/dm_control/dm_control/suite/tests/domains_test.py: spec conformance
+:150, determinism :171, obs/reward validation :76-103)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgqn_carla_tpu.physics.domains import available, load
+
+ALL = available()
+
+
+@pytest.fixture(scope="module")
+def tasks():
+    return {k: load(*k) for k in ALL}
+
+
+def test_expected_registry():
+    for k in [("walker", "walk"), ("walker", "stand"), ("walker", "run"),
+              ("cartpole", "swingup"), ("cartpole", "balance"),
+              ("cheetah", "run"), ("finger", "spin"), ("finger", "turn_easy"),
+              ("finger", "turn_hard"), ("ball_in_cup", "catch"),
+              ("reacher", "easy"), ("reacher", "hard")]:
+        assert k in ALL, f"missing {k}"
+
+
+@pytest.mark.parametrize("key", ALL, ids=["_".join(k) for k in ALL])
+class TestEveryDomain:
+    def test_rollout_valid(self, tasks, key):
+        """Random-policy rollout: finite state, reward in [0, 1]."""
+        t = tasks[key]
+        rng = jax.random.PRNGKey(1)
+        state = t.init(rng)
+        step = jax.jit(t.step)
+        rew = jax.jit(t.reward)
+        for i in range(5):
+            rng, k = jax.random.split(rng)
+            ctrl = jax.random.uniform(k, (t.action_size,), minval=-1.0,
+                                      maxval=1.0)
+            state = step(state, ctrl)
+            r = float(rew(state, ctrl))
+            assert 0.0 <= r <= 1.0, f"{key}: reward {r} out of range"
+        assert np.isfinite(np.asarray(state.qpos)).all(), key
+        assert np.abs(np.asarray(state.qvel)).max() < 200.0, key
+
+    def test_determinism(self, tasks, key):
+        t = tasks[key]
+        outs = []
+        for _ in range(2):
+            state = t.init(jax.random.PRNGKey(3))
+            for _ in range(3):
+                state = t.step(state, jnp.zeros(t.action_size))
+            outs.append(np.asarray(state.qpos))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_observation_finite(self, tasks, key):
+        t = tasks[key]
+        state = t.init(jax.random.PRNGKey(0))
+        obs = t.observe(state)
+        for name, v in obs.items():
+            assert np.isfinite(np.asarray(v)).all(), f"{key}/{name}"
+
+    def test_init_randomized(self, tasks, key):
+        t = tasks[key]
+        s1 = t.init(jax.random.PRNGKey(1))
+        s2 = t.init(jax.random.PRNGKey(2))
+        differs = not np.allclose(np.asarray(s1.qpos), np.asarray(s2.qpos))
+        if s1.task_aux is not None:
+            differs = differs or any(
+                not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(s1.task_aux),
+                                jax.tree_util.tree_leaves(s2.task_aux)))
+        assert differs, key
+
+
+class TestTaskSpecifics:
+    def test_ball_hangs_on_string(self, tasks):
+        """Ball must end up dangling ≤ string length below the cup."""
+        t = tasks[("ball_in_cup", "catch")]
+        state = t.init(jax.random.PRNGKey(0))
+        step = jax.jit(t.step)
+        for _ in range(60):  # 1.2 s
+            state = step(state, jnp.zeros(2))
+        from sgqn_carla_tpu.physics.engine import forward_kinematics
+        kin = forward_kinematics(t.model, state.qpos, state.qvel)
+        cup_z = float(kin.p[1][2])
+        ball_z = float(kin.p[3][2])
+        assert ball_z < cup_z              # hangs below
+        assert cup_z - ball_z < 0.45       # string caught it (≤0.3 + sag)
+
+    def test_reacher_reward_at_target(self, tasks):
+        t = tasks[("reacher", "easy")]
+        state = t.init(jax.random.PRNGKey(0))
+        # move target onto the finger
+        from sgqn_carla_tpu.physics.engine import forward_kinematics
+        kin = forward_kinematics(t.model, state.qpos, state.qvel)
+        hand_link = t.model.joint_id("wrist")
+        fp = kin.p[hand_link] + kin.R[hand_link] @ jnp.asarray([0.12, 0, 0])
+        state = state.replace(task_aux={"target_xy": fp[:2]})
+        assert float(t.reward(state, jnp.zeros(2))) == 1.0
+
+    def test_finger_spin_reward(self, tasks):
+        t = tasks[("finger", "spin")]
+        state = t.init(jax.random.PRNGKey(0))
+        hinge = t.model.joint_id("hinge")
+        fast = state.replace(qvel=state.qvel.at[hinge].set(-20.0))
+        slow = state.replace(qvel=state.qvel.at[hinge].set(-3.0))
+        assert float(t.reward(fast, jnp.zeros(2))) == 1.0
+        assert float(t.reward(slow, jnp.zeros(2))) == 0.0
+
+    def test_cheetah_settles_upright(self, tasks):
+        t = tasks[("cheetah", "run")]
+        state = t.init(jax.random.PRNGKey(2))
+        from sgqn_carla_tpu.physics.engine import forward_kinematics
+        kin = forward_kinematics(t.model, state.qpos, state.qvel)
+        torso_z = float(kin.p[2][2])
+        assert 0.2 < torso_z < 1.0  # settled near the ground, not exploded
