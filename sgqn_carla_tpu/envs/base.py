@@ -36,7 +36,7 @@ from sgqn_carla_tpu.data.videos import get_videos
 from sgqn_carla_tpu.physics import engine
 from sgqn_carla_tpu.physics.domains import load as load_task
 from sgqn_carla_tpu.physics.task import PhysState
-from sgqn_carla_tpu.render.cameras import camera_pose
+from sgqn_carla_tpu.render.cameras import camera_pose, _root_link
 from sgqn_carla_tpu.render.raster import Appearance, default_appearance, render_scene
 
 MODES = ("train", "color_easy", "color_hard", "video_easy", "video_hard",
@@ -51,7 +51,7 @@ class EnvState(struct.PyTreeNode):
     appearance: Appearance
     video_idx: jnp.ndarray     # int32
     video_frame: jnp.ndarray   # int32
-    cam_pos_off: jnp.ndarray   # (3,) distracting_cs camera offset (zeros otherwise)
+    distract: Any = None       # distracting_cs walk state (envs/distracting.py)
 
 
 class StepResult(struct.PyTreeNode):
@@ -88,11 +88,30 @@ class DMCPixelEnv:
             self.videos = jnp.asarray(vids)  # (V, F, H, W, 3) uint8
             self.num_videos = vids.shape[0]
             self.video_len = vids.shape[1]
+        elif mode == "distracting_cs":
+            from sgqn_carla_tpu.envs import distracting as dcs
+
+            vids = get_videos("video_hard", image_size, image_size, seed + 5,
+                              external_data_dir)
+            self.videos = jnp.asarray(vids)
+            self.num_videos = dcs.num_videos_for(intensity, vids.shape[0])
+            self.video_len = vids.shape[1]
         else:
             self.videos = None
             self.num_videos = 0
             self.video_len = 1
         self._default_app = default_appearance(self.task.model)
+        if mode == "distracting_cs":
+            from sgqn_carla_tpu.envs import distracting as dcs
+
+            self.dcs = dcs
+            self.cam_cfg = dcs.make_cam_config(
+                self.task.model, self.task.camera_id, intensity, domain_name)
+            self.color_lo, self.color_hi = dcs.color_bounds(
+                self._default_app, intensity)
+            self.color_step_std = 0.03 * intensity  # dynamic (suite_utils.py:32)
+        else:
+            self.cam_cfg = None
 
     # -- observation ---------------------------------------------------------
     @property
@@ -112,9 +131,14 @@ class DMCPixelEnv:
         w = width or self.image_size
         kin = engine.forward_kinematics(self.task.model, state.phys.qpos,
                                         state.phys.qvel)
-        cam = camera_pose(self.task.model, self.task.camera_id, kin)
         if self.mode == "distracting_cs":
-            cam = cam._replace(pos=cam.pos + state.cam_pos_off)
+            com = engine.subtree_com(self.task.model, kin,
+                                     _root_link(self.task.model))
+            cam = self.dcs.cam_walk_pose(
+                self.cam_cfg, state.distract.cam, com,
+                self.task.model.cameras[self.task.camera_id].fovy)
+        else:
+            cam = camera_pose(self.task.model, self.task.camera_id, kin)
         Rg, pg = engine.geom_world(self.task.model, kin)
         if self.task.render_overrides_fn is not None:
             for idx, pos in self.task.render_overrides_fn(
@@ -123,9 +147,14 @@ class DMCPixelEnv:
         background = None
         bg_mats: Tuple[str, ...] = ()
         if self.videos is not None:
-            frame = self.videos[
-                state.video_idx, jnp.mod(state.video_frame, self.video_len)
-            ].astype(jnp.float32) / 255.0
+            if self.mode == "distracting_cs":
+                # ping-pong playback advancing every 2nd step
+                # (reference: background.py:217-239)
+                fidx = self.dcs.pingpong_index(state.video_frame // 2,
+                                               self.video_len)
+            else:
+                fidx = jnp.mod(state.video_frame, self.video_len)
+            frame = self.videos[state.video_idx, fidx].astype(jnp.float32) / 255.0
             if (h, w) != (self.image_size, self.image_size):
                 frame = jax.image.resize(frame, (h, w, 3), "linear")
             background = frame
@@ -139,13 +168,19 @@ class DMCPixelEnv:
 
     # -- reset / step --------------------------------------------------------
     def reset(self, rng) -> Tuple[EnvState, jnp.ndarray]:
-        r_phys, r_app, r_vid, r_next = jax.random.split(rng, 4)
+        r_phys, r_app, r_vid, r_dc, r_next = jax.random.split(rng, 5)
         phys = self.task.init(r_phys)
         app = self._episode_appearance(r_app)
         video_idx = (
             jax.random.randint(r_vid, (), 0, self.num_videos)
             if self.num_videos else jnp.int32(0)
         )
+        distract = None
+        if self.mode == "distracting_cs":
+            k_cam, k_col, k_n = jax.random.split(r_dc, 3)
+            app = self.dcs.color_init(self.color_lo, self.color_hi, k_col)
+            distract = self.dcs.DistractState(
+                cam=self.dcs.cam_walk_init(self.cam_cfg, k_cam), rng=k_n)
         state = EnvState(
             phys=phys,
             frames=jnp.zeros(self.obs_shape, jnp.uint8),
@@ -154,7 +189,7 @@ class DMCPixelEnv:
             appearance=app,
             video_idx=jnp.int32(video_idx),
             video_frame=jnp.int32(0),
-            cam_pos_off=jnp.zeros(3, jnp.float32),
+            distract=distract,
         )
         frame = self._render_frame(state)
         frames = jnp.tile(frame, (self.frame_stack, 1, 1))
@@ -179,6 +214,24 @@ class DMCPixelEnv:
             step_i=state.step_i + 1,
             video_frame=state.video_frame + 1,
         )
+        if self.mode == "distracting_cs":
+            # camera + color walk applied every 2nd frame
+            # (reference: camera.py:288-291, color.py:82-88)
+            d = state.distract
+            k_cam, k_col, k_n = jax.random.split(d.rng, 3)
+            even = state.step_i % 2 == 0
+
+            def walk(_):
+                cam2 = self.dcs.cam_walk_step(self.cam_cfg, d.cam, k_cam)
+                app2 = self.dcs.color_step(state.appearance, self.color_lo,
+                                           self.color_hi, k_col,
+                                           self.color_step_std)
+                return cam2, app2
+
+            cam2, app2 = jax.lax.cond(
+                even, walk, lambda _: (d.cam, state.appearance), None)
+            state = state.replace(
+                distract=d.replace(cam=cam2, rng=k_n), appearance=app2)
         frame = self._render_frame(state)
         c = 3
         frames = jnp.concatenate([state.frames[c:], frame], axis=0)
