@@ -160,22 +160,22 @@ class CarlaTwinEnv:
             rng.uniform(3.0, 8.0, _N_TRAFFIC), jnp.float32)
 
     @staticmethod
-    def _road_color(local_xy, world_p):
+    def _road_color(lx, ly, world_p):
         """Ring-road surface: asphalt within the road band, dashed white
-        centerline, shoulder lines, grass outside."""
-        x, y = world_p[..., 0], world_p[..., 1]
+        centerline, shoulder lines, grass outside (SoA components)."""
+        from sgqn_carla_tpu.ops import v3
+
+        x, y = world_p[0], world_p[1]
         r = jnp.sqrt(x * x + y * y) + 1e-6
         ang = jnp.arctan2(y, x)
         d = jnp.abs(r - _R)
-        asphalt = jnp.asarray([0.25, 0.25, 0.27])
-        grass = jnp.asarray([0.25, 0.42, 0.20])
-        col = jnp.where((d <= _ROAD_HW)[..., None], asphalt, grass)
+        col = v3.where(d <= _ROAD_HW, v3.splat((0.25, 0.25, 0.27)),
+                       v3.splat((0.25, 0.42, 0.20)))
         # dashed centerline: 2 m dashes along arc length
         dash = jnp.mod(ang * _R, 4.0) < 2.0
-        center = (d < 0.15) & dash
-        col = jnp.where(center[..., None], jnp.asarray([0.9, 0.9, 0.85]), col)
-        edge = (jnp.abs(d - _ROAD_HW) < 0.15)
-        col = jnp.where(edge[..., None], jnp.asarray([0.85, 0.85, 0.8]), col)
+        col = v3.where((d < 0.15) & dash, v3.splat((0.9, 0.9, 0.85)), col)
+        col = v3.where(jnp.abs(d - _ROAD_HW) < 0.15,
+                       v3.splat((0.85, 0.85, 0.8)), col)
         return col
 
     # ------------------------------------------------------------- dynamics

@@ -1,20 +1,26 @@
-"""Featherstone rigid-body dynamics engine (pure JAX).
+"""Featherstone rigid-body dynamics engine (pure JAX, structure-of-arrays).
 
 TPU-native replacement for the MuJoCo C stepping core the reference reaches
 through ctypes (`mj_step1`/`mj_step2`, reference: src/env/dm_control/
 dm_control/mujoco/engine.py:148-165). Design:
 
   * generalized coordinates over single-DoF links (see `model.ModelBuilder`),
-    world-frame 6D spatial algebra;
-  * CRBA for the mass matrix, RNEA (qacc=0) for bias forces, dense
-    `jnp.linalg.solve` for forward dynamics — nv ≤ ~10 for every DMC domain,
-    so the solve is a tiny batched op under `vmap`;
+    world-frame spatial algebra;
+  * **scalar-component (structure-of-arrays) math throughout** (ops/v3.py):
+    TPU tiles the last two array dims to (8, 128), so "array-of-vectors"
+    shapes like (B, 3) or (B, 6) waste ≥95% of VPU lanes and 42× memory.
+    Here every vector is a tuple of scalar components; under `vmap` each
+    component becomes a (B,) array that runs full 128-wide lanes;
+  * CRBA (composite inertias) + RNEA (qacc=0 bias) unrolled over the static
+    topology as pure scalar arithmetic; forward dynamics solves the nv×nv
+    SPD system with an **unrolled Cholesky** — no `linalg` loops, no MXU
+    micro-dots, everything fuses into wide elementwise code;
   * contacts are smooth penalty forces (spring-damper normal + regularized
     Coulomb friction) over a *static* pair list compiled from
-    contype/conaffinity, instead of MuJoCo's PGS/Newton LCP solver — no
-    data-dependent control flow, fully fused by XLA;
+    contype/conaffinity — no LCP solver, no data-dependent control flow;
   * joint limits as one-sided penalty springs (reference semantics:
-    solimplimit constraints, src/env/dm_control .../suite/walker.xml:11);
+    solimplimit constraints, suite/walker.xml:11); tendons as one-sided
+    stiff springs (ball_in_cup's string);
   * integrators: semi-implicit Euler (MuJoCo default) and RK4 (cartpole,
     suite/cartpole.xml:6).
 
@@ -24,35 +30,42 @@ All trace-time loops unroll over the static topology; every function is
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sgqn_carla_tpu.physics import math3d as m3
+from sgqn_carla_tpu.ops import v3
 from sgqn_carla_tpu.physics.model import (
     BOX, CAPSULE, CYLINDER, HINGE, PLANE, SLIDE, SPHERE, Model,
 )
 
 
 class Kin(NamedTuple):
-    """Forward-kinematics caches (all world frame)."""
+    """Forward-kinematics caches.
+
+    Public array views (small, built once by stacking) feed tasks/rendering;
+    `soa` carries the per-link structure-of-arrays forms the dynamics use:
+    soa = (q, p, S, v, com) where q[i] is a 4-tuple quaternion, p[i]/com[i]
+    vec3 tuples, S[i]/v[i] spatial (w3, v3) pairs.
+    """
 
     R: jnp.ndarray        # (nl, 3, 3) link orientations
     p: jnp.ndarray        # (nl, 3) link frame origins
-    S: jnp.ndarray        # (nl, 6) joint motion subspaces (Plücker, world origin)
+    S: jnp.ndarray        # (nl, 6) joint motion subspaces (Plücker)
     v: jnp.ndarray        # (nl, 6) link spatial velocities
     com: jnp.ndarray      # (nl, 3) link COM positions
     axis_w: jnp.ndarray   # (nl, 3) world joint axes
     anchor_w: jnp.ndarray # (nl, 3) world joint anchors
-    q: jnp.ndarray = None # (nl, 4) link orientation quaternions
+    q: jnp.ndarray        # (nl, 4) link quaternions
+    soa: Any = None
 
 
 class StepOut(NamedTuple):
     qpos: jnp.ndarray
     qvel: jnp.ndarray
-    contact_force: jnp.ndarray  # (npair,) accumulated normal force magnitude
+    contact_force: jnp.ndarray  # (npair,) accumulated normal force magnitudes
 
 
 def _ancestors(model: Model) -> np.ndarray:
@@ -67,276 +80,431 @@ def _ancestors(model: Model) -> np.ndarray:
     return anc
 
 
+def _const3(a):
+    return (jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]))
+
+
 def forward_kinematics(model: Model, qpos, qvel) -> Kin:
-    """Quaternion-based FK: the per-link chain is inherently sequential
-    (unrolled, nl ≤ ~10), but every op is elementwise quaternion math on the
-    VPU — no tiny 3×3 matmuls that would land as ~0.05%-utilized MXU ops.
-    Everything downstream (velocities, rotation matrices, COMs) is computed
-    in one batched op over links."""
+    """Sequential FK over the static chain; all quaternion component math."""
     nl = model.nl
-    dtype = qpos.dtype
-    qs, ps, Ss, axes, anchors = [], [], [], [], []
-    theta = qpos - jnp.asarray(model.jnt_ref, dtype)  # MuJoCo `ref`
+    f = jnp.float32
+    theta = qpos.astype(f) - jnp.asarray(model.jnt_ref, f)
+    qd = qvel.astype(f)
+    qs, ps, Ss, vs, coms, axes, anchors = [], [], [], [], [], [], []
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
     for i in range(nl):
         par = int(model.link_parent[i])
         if par < 0:
-            q_p = jnp.asarray([1.0, 0, 0, 0], dtype)
-            p_p = jnp.zeros(3, dtype)
+            q_p = (one, zero, zero, zero)
+            p_p = (zero, zero, zero)
+            v_p = ((zero, zero, zero), (zero, zero, zero))
         else:
-            q_p, p_p = qs[par], ps[par]
-        q_off = jnp.asarray(model.link_quat[i], dtype)
+            q_p, p_p, v_p = qs[par], ps[par], vs[par]
         if np.allclose(model.link_quat[i], [1.0, 0, 0, 0]):
             q0 = q_p
         else:
-            q0 = m3.quat_mul(q_p, q_off)
-        p0 = p_p + m3.quat_rotate(q_p, jnp.asarray(model.link_pos[i], dtype))
-        n = m3.quat_rotate(q0, jnp.asarray(model.jnt_axis[i], dtype))
-        a = p0 + m3.quat_rotate(q0, jnp.asarray(model.jnt_pos[i], dtype))
+            q0 = v3.qmul(q_p, tuple(jnp.float32(c) for c in model.link_quat[i]))
+        off = model.link_pos[i]
+        if np.allclose(off, 0.0):
+            p0 = p_p
+        else:
+            p0 = v3.add(p_p, v3.qrot(q_p, _const3(off)))
+        n = v3.qrot(q0, _const3(model.jnt_axis[i]))
+        jp = model.jnt_pos[i]
+        a = p0 if np.allclose(jp, 0.0) else v3.add(p0, v3.qrot(q0, _const3(jp)))
         if int(model.jnt_type[i]) == HINGE:
-            q_rot = m3.quat_from_axis_angle(n, theta[i])
-            q_i = m3.quat_mul(q_rot, q0)
-            p_i = a + m3.quat_rotate(q_rot, p0 - a)
-            S_i = jnp.concatenate([n, jnp.cross(a, n)])
+            q_rot = v3.q_axis_angle(n, theta[i])
+            q_i = v3.qmul(q_rot, q0)
+            p_i = v3.add(a, v3.qrot(q_rot, v3.sub(p0, a)))
+            S_i = (n, v3.cross(a, n))
         else:  # SLIDE
             q_i = q0
-            p_i = p0 + n * theta[i]
-            S_i = jnp.concatenate([jnp.zeros(3, dtype), n])
-        qs.append(q_i); ps.append(p_i); Ss.append(S_i)
-        axes.append(n); anchors.append(a)
-    q_all = jnp.stack(qs)
-    p_all = jnp.stack(ps)
-    S_all = jnp.stack(Ss)
-    R_all = m3.quat_to_mat(q_all)
-    anc_f = jnp.asarray(_ancestors(model).astype(np.float32), dtype)
-    # v_i = Σ_{j ancestor-or-self} S_j qd_j  — one dense matmul
-    v_all = anc_f @ (S_all * qvel[:, None])
-    com_all = p_all + m3.quat_rotate(q_all, jnp.asarray(model.link_com, dtype))
-    return Kin(R_all, p_all, S_all, v_all, com_all,
-               jnp.stack(axes), jnp.stack(anchors), q_all)
+            p_i = v3.add(p0, v3.scale(n, theta[i]))
+            S_i = ((zero, zero, zero), n)
+        v_i = v3.s_add(v_p, v3.s_scale(S_i, qd[i]))
+        com_i = (p_i if np.allclose(model.link_com[i], 0.0)
+                 else v3.add(p_i, v3.qrot(q_i, _const3(model.link_com[i]))))
+        qs.append(q_i); ps.append(p_i); Ss.append(S_i); vs.append(v_i)
+        coms.append(com_i); axes.append(n); anchors.append(a)
+
+    def stackv(ts):
+        return jnp.stack([v3.stack(t) for t in ts]) if ts else jnp.zeros((0, 3))
+
+    def stacks(ts):
+        return (jnp.stack([jnp.stack([*t[0], *t[1]], -1) for t in ts])
+                if ts else jnp.zeros((0, 6)))
+
+    q_arr = (jnp.stack([jnp.stack(q, -1) for q in qs])
+             if qs else jnp.zeros((0, 4)))
+    from sgqn_carla_tpu.physics.math3d import quat_to_mat
+    R_arr = quat_to_mat(q_arr) if nl else jnp.zeros((0, 3, 3))
+    return Kin(
+        R=R_arr, p=stackv(ps), S=stacks(Ss), v=stacks(vs), com=stackv(coms),
+        axis_w=stackv(axes), anchor_w=stackv(anchors), q=q_arr,
+        soa=(tuple(qs), tuple(ps), tuple(Ss), tuple(vs), tuple(coms)),
+    )
 
 
-def _spatial_inertias(model: Model, kin: Kin) -> jnp.ndarray:
-    """(nl, 6, 6) world-frame spatial inertias, batched over links."""
-    dtype = kin.R.dtype
-    I_local = jnp.asarray(model.link_inertia, dtype)        # (nl, 3, 3)
-    I_com = jnp.einsum("nij,njk,nlk->nil", kin.R, I_local, kin.R)
-    return m3.spatial_inertia(jnp.asarray(model.link_mass, dtype),
-                              kin.com, I_com)
+# ------------------------------------------------- spatial inertia (SoA)
+# SpI = (A: 3×3 nested tuple [inertia about origin], h: vec3 [m·com], m)
+
+def _mat3_vec(A, w):
+    return (
+        A[0][0] * w[0] + A[0][1] * w[1] + A[0][2] * w[2],
+        A[1][0] * w[0] + A[1][1] * w[1] + A[1][2] * w[2],
+        A[2][0] * w[0] + A[2][1] * w[1] + A[2][2] * w[2],
+    )
 
 
-def _masked_jacobians(model: Model, kin: Kin) -> jnp.ndarray:
-    """(nl, nv, 6): J[i, j] = S_j if dof j supports link i else 0."""
-    anc_f = jnp.asarray(_ancestors(model).astype(np.float32), kin.R.dtype)
-    return anc_f[:, :, None] * kin.S[None, :, :]
+def _spi_from_link(model: Model, i: int, kin: Kin):
+    """World spatial inertia of link i about the world origin."""
+    qs, ps, Ss, vs, coms = kin.soa
+    m = float(model.link_mass[i])
+    c = coms[i]
+    # rotate the (constant) local inertia into world axes: A_c = R I R^T,
+    # done column-wise with quaternion rotations (pure elementwise)
+    I_local = model.link_inertia[i]
+    q = qs[i]
+    cols = [v3.qrot(q, _const3(I_local[:, k])) for k in range(3)]
+    ex, ey, ez = v3.q_columns(q)
+    basis = (ex, ey, ez)
+    # A_c[r][s] = e_r · (Σ_k I_col_k ... ) — A_c = R I_local Rᵀ:
+    # (R I)_{r k} = cols[k][r]; A_c[r][s] = Σ_k cols[k][r] * R[s][k]
+    A_c = [[sum(cols[k][r] * basis[k][s] for k in range(3)) for s in range(3)]
+           for r in range(3)]
+    # shift to origin: A = A_c + m (|c|² I − c cᵀ)
+    c2 = v3.dot(c, c)
+    A = [[A_c[r][s] + m * ((c2 if r == s else 0.0) - c[r] * c[s])
+          for s in range(3)] for r in range(3)]
+    h = v3.scale(c, m)
+    return (A, h, m)
+
+
+def _spi_add(a, b):
+    A = [[a[0][r][s] + b[0][r][s] for s in range(3)] for r in range(3)]
+    return (A, v3.add(a[1], b[1]), a[2] + b[2])
+
+
+def _spi_apply(I, sv):
+    """SpI × spatial motion (w, v) → spatial force (n, f)."""
+    A, h, m = I
+    w, vv = sv
+    n = v3.add(_mat3_vec(A, w), v3.cross(h, vv))
+    fl = v3.add(v3.scale(vv, m), v3.cross(w, h))
+    return (n, fl)
+
+
+def _solve_spd(M, b, n: int):
+    """Unrolled Cholesky solve for the nv×nv SPD mass matrix. M is a nested
+    list of scalars, b a list; under vmap each scalar is a (B,) array —
+    ~n³/3 fused elementwise ops, no lax.linalg loops."""
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-10))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward: L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # backward: Lᵀ x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
 
 
 def mass_matrix(model: Model, kin: Kin) -> jnp.ndarray:
-    """CRBA as one dense einsum: M = Σ_i J_iᵀ I_i J_i (+armature).
-    Equivalent to the classic composite recursion, but lands on the MXU as
-    a handful of (nl·nv, 6)-shaped contractions instead of hundreds of tiny
-    per-link dots."""
-    Iw = _spatial_inertias(model, kin)
-    J = _masked_jacobians(model, kin)
-    M = jnp.einsum("inj,ijk,imk->nm", J, Iw, J)
-    return M + jnp.diag(jnp.asarray(model.jnt_armature, kin.R.dtype))
+    """CRBA (array view, for tests/inspection)."""
+    M = _mass_matrix_soa(model, kin)
+    return jnp.stack([jnp.stack(row, -1) for row in M], -2)
+
+
+def _mass_matrix_soa(model: Model, kin: Kin):
+    nl = model.nl
+    _, _, Ss, _, _ = kin.soa
+    Ic = [_spi_from_link(model, i, kin) for i in range(nl)]
+    for i in reversed(range(nl)):
+        par = int(model.link_parent[i])
+        if par >= 0:
+            Ic[par] = _spi_add(Ic[par], Ic[i])
+    M = [[None] * nl for _ in range(nl)]
+    for i in range(nl):
+        F = _spi_apply(Ic[i], Ss[i])
+        M[i][i] = v3.s_dot(Ss[i], F) + jnp.float32(model.jnt_armature[i])
+        j = int(model.link_parent[i])
+        while j >= 0:
+            mij = v3.s_dot(Ss[j], F)
+            M[i][j] = mij
+            M[j][i] = mij
+            j = int(model.link_parent[j])
+    zero = jnp.float32(0.0)
+    for i in range(nl):
+        for j in range(nl):
+            if M[i][j] is None:
+                M[i][j] = zero
+    return M
 
 
 def bias_forces(model: Model, kin: Kin, qvel) -> jnp.ndarray:
-    """RNEA (qacc = 0) vectorized: link accelerations from the per-dof
-    velocity-product terms summed over ancestor masks; C = Σ J_iᵀ f_i."""
-    dtype = kin.R.dtype
-    g = jnp.asarray(model.gravity, dtype)
-    a_base = jnp.concatenate([jnp.zeros(3, dtype), -g])
-    anc_f = jnp.asarray(_ancestors(model).astype(np.float32), dtype)
-    # per-dof velocity-product term: crm(v_link(j)) S_j qd_j  (link j == dof j)
-    gterm = m3.crm(kin.v, kin.S * qvel[:, None])            # (nv, 6)
-    a = a_base[None, :] + anc_f @ gterm                      # (nl, 6)
-    Iw = _spatial_inertias(model, kin)
-    Iv = jnp.einsum("ijk,ik->ij", Iw, kin.v)
-    f = jnp.einsum("ijk,ik->ij", Iw, a) + m3.crf(kin.v, Iv)  # (nl, 6)
-    J = _masked_jacobians(model, kin)
-    return jnp.einsum("inj,ij->n", J, f)
+    """RNEA with qacc = 0 (array view)."""
+    return jnp.stack(_bias_forces_soa(model, kin, qvel), -1)
+
+
+def _bias_forces_soa(model: Model, kin: Kin, qvel):
+    nl = model.nl
+    _, _, Ss, vs, _ = kin.soa
+    qd = qvel.astype(jnp.float32)
+    g = model.gravity
+    zero = jnp.float32(0.0)
+    a_base = ((zero, zero, zero),
+              (-jnp.float32(g[0]), -jnp.float32(g[1]), -jnp.float32(g[2])))
+    accs, fs = [], []
+    for i in range(nl):
+        par = int(model.link_parent[i])
+        a_p = a_base if par < 0 else accs[par]
+        a_i = v3.s_add(a_p, v3.s_crm(vs[i], v3.s_scale(Ss[i], qd[i])))
+        Iw = _spi_from_link(model, i, kin)
+        f_i = v3.s_add(_spi_apply(Iw, a_i),
+                       v3.s_crf(vs[i], _spi_apply(Iw, vs[i])))
+        accs.append(a_i); fs.append(f_i)
+    fsub = list(fs)
+    for i in reversed(range(nl)):
+        par = int(model.link_parent[i])
+        if par >= 0:
+            fsub[par] = v3.s_add(fsub[par], fsub[i])
+    return [v3.s_dot(Ss[i], fsub[i]) for i in range(nl)]
 
 
 # ----------------------------------------------------------------- geometry
 def geom_world(model: Model, kin: Kin):
-    """World pose of every geom: (ngeom, 3, 3) R and (ngeom, 3) p — one
-    batched quaternion op over the geom list (a virtual identity link is
-    appended for world-attached geoms)."""
-    dtype = kin.R.dtype
-    links = np.array([g.link if g.link >= 0 else model.nl for g in model.geoms])
-    gq = jnp.asarray(np.stack([g.quat for g in model.geoms]), dtype)
-    gp = jnp.asarray(np.stack([g.pos for g in model.geoms]), dtype)
-    ident = jnp.asarray([[1.0, 0, 0, 0]], dtype)
-    q_ext = jnp.concatenate([kin.q, ident], axis=0)
-    p_ext = jnp.concatenate([kin.p, jnp.zeros((1, 3), dtype)], axis=0)
-    ql = q_ext[links]
-    Rg = m3.quat_to_mat(m3.quat_mul(ql, gq))
-    pg = p_ext[links] + m3.quat_rotate(ql, gp)
-    return Rg, pg
+    """World pose of every geom: (ngeom, 3, 3) R and (ngeom, 3) p (array
+    view for the renderer; per-geom components are computed scalar-wise)."""
+    Rg, pg = [], []
+    qs, ps, _, _, _ = kin.soa if kin.soa else ((), (), (), (), ())
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    for g in model.geoms:
+        if g.link < 0:
+            ql = (one, zero, zero, zero)
+            pl = (zero, zero, zero)
+        else:
+            ql, pl = qs[g.link], ps[g.link]
+        if np.allclose(g.quat, [1.0, 0, 0, 0]):
+            qg = ql
+        else:
+            qg = v3.qmul(ql, tuple(jnp.float32(c) for c in g.quat))
+        pw = pl if np.allclose(g.pos, 0.0) else v3.add(
+            pl, v3.qrot(ql, _const3(g.pos)))
+        ex, ey, ez = v3.q_columns(qg)
+        Rg.append(jnp.stack([v3.stack(ex), v3.stack(ey), v3.stack(ez)], -1))
+        pg.append(v3.stack(pw))
+    return jnp.stack(Rg), jnp.stack(pg)
+
+
+def _geom_world_soa(model: Model, kin: Kin):
+    """SoA variant used by the contact code: lists of (q, p) per geom."""
+    out = []
+    qs, ps, _, _, _ = kin.soa
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    for g in model.geoms:
+        if g.link < 0:
+            ql = (one, zero, zero, zero)
+            pl = (zero, zero, zero)
+        else:
+            ql, pl = qs[g.link], ps[g.link]
+        qg = ql if np.allclose(g.quat, [1.0, 0, 0, 0]) else v3.qmul(
+            ql, tuple(jnp.float32(c) for c in g.quat))
+        pw = pl if np.allclose(g.pos, 0.0) else v3.add(
+            pl, v3.qrot(ql, _const3(g.pos)))
+        out.append((qg, pw))
+    return out
 
 
 def _point_velocity(kin: Kin, link: int, x):
-    """World velocity of world point x rigidly attached to `link`."""
+    """World velocity of world point x rigidly attached to `link` (SoA)."""
     if link < 0:
-        return jnp.zeros(3, dtype=x.dtype)
-    w, v0 = kin.v[link][:3], kin.v[link][3:]
-    return jnp.cross(w, x) + v0
+        z = jnp.float32(0.0)
+        return (z, z, z)
+    w, v0 = kin.soa[3][link]
+    return v3.add(v3.cross(w, x), v0)
 
 
-def _capsule_segment(g, Rg, pg):
-    """World endpoints of a capsule/cylinder axis (local z, half-length size[1])."""
-    hl = g.size[1]
-    d = Rg[:, 2] * hl
-    return pg - d, pg + d
+def _capsule_segment_soa(g, qg, pw):
+    hl = float(g.size[1])
+    _, _, ez = v3.q_columns(qg)
+    d = v3.scale(ez, hl)
+    return v3.sub(pw, d), v3.add(pw, d)
 
 
-def _contacts_for_pair(model, kin, gi, gj, Rg, pg):
-    """Contacts for one static geom pair.
+def _closest_segment_points(a0, a1, b0, b1):
+    """Closest points between segments [a0,a1], [b0,b1] (smooth clamped)."""
+    d1 = v3.sub(a1, a0)
+    d2 = v3.sub(b1, b0)
+    r = v3.sub(a0, b0)
+    a = v3.dot(d1, d1) + 1e-12
+    e = v3.dot(d2, d2) + 1e-12
+    fv = v3.dot(d2, r)
+    c = v3.dot(d1, r)
+    b = v3.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.clip((b * fv - c * e) / (denom + 1e-12), 0.0, 1.0)
+    t = jnp.clip((b * s + fv) / e, 0.0, 1.0)
+    s = jnp.clip((b * t - c) / a, 0.0, 1.0)
+    return v3.add(a0, v3.scale(d1, s)), v3.add(b0, v3.scale(d2, t))
+
+
+def _contacts_for_pair(model, kin, gi, gj, gw):
+    """Contacts for one static geom pair (SoA).
 
     Returns a list of ``(point, n, depth, mu, la, lb)`` where ``n`` points
     from geom b toward geom a and the contact force ``+f`` acts on link
     ``la`` (geom a's link), ``-f`` on ``lb``. Every potential contact is
     always emitted — depth ≤ 0 simply yields zero force (static shapes)."""
     a, b = model.geoms[gi], model.geoms[gj]
-    # order so the PLANE (if any) is geom b → normal points at the body
-    if a.gtype == PLANE:
+    if a.gtype == PLANE:  # plane second → normal points at the body
         a, b, gi, gj = b, a, gj, gi
-    Ra, pa, Rb, pb = Rg[gi], pg[gi], Rg[gj], pg[gj]
+    (qa, pa), (qb, pb) = gw[gi], gw[gj]
     mu = max(a.friction, b.friction)  # MuJoCo default friction combination
     out = []
     if b.gtype == PLANE:
-        n = Rb[:, 2]  # plane normal (world)
-        d0 = n @ pb
+        _, _, n = v3.q_columns(qb)
+        d0 = v3.dot(n, pb)
         if a.gtype == SPHERE:
-            r = a.size[0]
-            dist = n @ pa - d0
-            out.append((pa - n * dist, n, r - dist, mu))
+            r = float(a.size[0])
+            dist = v3.dot(n, pa) - d0
+            out.append((v3.sub(pa, v3.scale(n, dist)), n, r - dist, mu))
         elif a.gtype in (CAPSULE, CYLINDER):
-            r = a.size[0]
-            for e in _capsule_segment(a, Ra, pa):
-                dist = n @ e - d0
-                out.append((e - n * dist, n, r - dist, mu))
+            r = float(a.size[0])
+            for e in _capsule_segment_soa(a, qa, pa):
+                dist = v3.dot(n, e) - d0
+                out.append((v3.sub(e, v3.scale(n, dist)), n, r - dist, mu))
         elif a.gtype == BOX:
+            ex, ey, ez = v3.q_columns(qa)
             for sx in (-1, 1):
                 for sy in (-1, 1):
                     for sz in (-1, 1):
-                        corner = pa + Ra @ (jnp.asarray([sx, sy, sz], pa.dtype)
-                                            * jnp.asarray(a.size, pa.dtype))
-                        dist = n @ corner - d0
-                        out.append((corner - n * dist, n, -dist, mu))
+                        corner = v3.add(pa, v3.add(
+                            v3.scale(ex, sx * float(a.size[0])),
+                            v3.add(v3.scale(ey, sy * float(a.size[1])),
+                                   v3.scale(ez, sz * float(a.size[2])))))
+                        dist = v3.dot(n, corner) - d0
+                        out.append((v3.sub(corner, v3.scale(n, dist)), n,
+                                    -dist, mu))
         else:
             raise NotImplementedError(f"plane vs geom type {a.gtype}")
     elif (a.gtype in (SPHERE, CAPSULE, CYLINDER)
           and b.gtype in (SPHERE, CAPSULE, CYLINDER)):
-        # closest points between the two core segments (sphere = 0-length;
-        # cylinders approximated as capsules — only decorations use them)
-        def seg(g, R, p):
+        def seg(g, q, p):
             if g.gtype == SPHERE:
                 return p, p
-            return _capsule_segment(g, R, p)
+            return _capsule_segment_soa(g, q, p)
 
-        a0, a1 = seg(a, Ra, pa)
-        b0, b1 = seg(b, Rb, pb)
+        a0, a1 = seg(a, qa, pa)
+        b0, b1 = seg(b, qb, pb)
         ca, cb = _closest_segment_points(a0, a1, b0, b1)
-        delta = ca - cb
-        dist = jnp.linalg.norm(delta) + 1e-9
-        n = delta / dist  # from b to a
-        ra, rb = a.size[0], b.size[0]
+        delta = v3.sub(ca, cb)
+        dist = v3.norm(delta, eps=1e-12)
+        n = v3.scale(delta, 1.0 / (dist + 1e-9))
+        ra, rb = float(a.size[0]), float(b.size[0])
         depth = (ra + rb) - dist
-        point = cb + n * (rb - depth / 2)
+        point = v3.add(cb, v3.scale(n, rb - depth / 2))
         out.append((point, n, depth, mu))
     else:
         raise NotImplementedError(
-            f"contact pair {a.gtype} vs {b.gtype} not supported"
-        )
+            f"contact pair {a.gtype} vs {b.gtype} not supported")
     la = model.geoms[gi].link
     lb = model.geoms[gj].link
     return [(pt, nn, dd, mm, la, lb) for (pt, nn, dd, mm) in out]
 
 
-def _closest_segment_points(a0, a1, b0, b1):
-    """Closest points between segments [a0,a1], [b0,b1] (smooth clamped)."""
-    d1 = a1 - a0
-    d2 = b1 - b0
-    r = a0 - b0
-    a = d1 @ d1 + 1e-12
-    e = d2 @ d2 + 1e-12
-    f = d2 @ r
-    c = d1 @ r
-    b = d1 @ d2
-    denom = a * e - b * b
-    s = jnp.clip((b * f - c * e) / (denom + 1e-12), 0.0, 1.0)
-    t = jnp.clip((b * s + f) / e, 0.0, 1.0)
-    s = jnp.clip((b * t - c) / a, 0.0, 1.0)
-    return a0 + d1 * s, b0 + d2 * t
+def _project_point_force(kin: Kin, anc, link: int, x, f3):
+    """Generalized forces (list of scalars per dof) from a world force f3
+    applied at world point x on `link` — τ_j = S_j · (x×f, f) for every dof
+    j on the link's support path (static mask)."""
+    _, _, Ss, _, _ = kin.soa
+    nl = len(Ss)
+    fx = v3.cross(x, f3)
+    taus = [None] * nl
+    for j in range(nl):
+        if link >= 0 and anc[link, j]:
+            taus[j] = v3.dot(Ss[j][0], fx) + v3.dot(Ss[j][1], f3)
+    return taus
 
 
-def contact_taus(model: Model, kin: Kin, Rg, pg, anc: np.ndarray):
-    """Generalized contact forces (nv,) + per-pair normal force magnitudes."""
+def contact_taus(model: Model, kin: Kin, gw, anc: np.ndarray):
+    """Generalized contact forces (nv list) + per-pair normal magnitudes."""
     nl = model.nl
-    dtype = kin.R.dtype
-    tau = jnp.zeros(nl, dtype=dtype)
+    zero = jnp.float32(0.0)
+    tau = [zero] * nl
     pair_forces = []
     kp = model.contact_stiffness
     kd = model.contact_damping
     for (gi, gj) in model.contact_pairs:
-        contacts = _contacts_for_pair(model, kin, int(gi), int(gj), Rg, pg)
-        fn_total = jnp.zeros((), dtype=dtype)
+        contacts = _contacts_for_pair(model, kin, int(gi), int(gj), gw)
+        fn_total = zero
         for (x, n, depth, mu, la, lb) in contacts:
-            active = (depth > 0).astype(dtype)
-            v_rel = _point_velocity(kin, la, x) - _point_velocity(kin, lb, x)
-            vn = v_rel @ n
+            active = (depth > 0).astype(jnp.float32)
+            v_rel = v3.sub(_point_velocity(kin, la, x),
+                           _point_velocity(kin, lb, x))
+            vn = v3.dot(v_rel, n)
             fn = jnp.maximum(kp * depth - kd * vn, 0.0) * active
-            vt = v_rel - vn * n
-            vt_norm = jnp.linalg.norm(vt) + 1e-6
+            vt = v3.sub(v_rel, v3.scale(n, vn))
+            vt_norm = v3.norm(vt) + 1e-6
             # regularized Coulomb: full µ·fn beyond ~1 cm/s slip
-            ft = -mu * fn * jnp.tanh(vt_norm / 0.01) * (vt / vt_norm)
-            f3 = fn * n + ft
-            f6 = jnp.concatenate([jnp.cross(x, f3), f3])
-            proj = kin.S @ f6  # (nl,) = S_i · f for every dof i
-            av = anc[la].astype(np.float32) if la >= 0 else np.zeros(nl, np.float32)
-            bv = anc[lb].astype(np.float32) if lb >= 0 else np.zeros(nl, np.float32)
-            tau = tau + jnp.asarray(av - bv, dtype=dtype) * proj
+            ft_scale = -mu * fn * jnp.tanh(vt_norm / 0.01) / vt_norm
+            f3 = v3.add(v3.scale(n, fn), v3.scale(vt, ft_scale))
+            for link, sign in ((la, 1.0), (lb, -1.0)):
+                ts = _project_point_force(kin, anc, link, x, f3)
+                for j, t in enumerate(ts):
+                    if t is not None:
+                        tau[j] = tau[j] + sign * t
             fn_total = fn_total + fn
         pair_forces.append(fn_total)
     pf = (jnp.stack(pair_forces) if pair_forces
-          else jnp.zeros(0, dtype=dtype))
+          else jnp.zeros((0,), jnp.float32))
     return tau, pf
 
 
-def _point_force_taus(kin: Kin, anc: np.ndarray, link: int, x, f3, nl: int):
-    """Generalized forces from a world-frame force f3 applied at world point
-    x on `link` (Jacobian-transpose via the Plücker motion subspaces)."""
-    if link < 0:
-        return 0.0
-    f6 = jnp.concatenate([jnp.cross(x, f3), f3])
-    proj = kin.S @ f6
-    return jnp.asarray(anc[link].astype(np.float32), dtype=f3.dtype) * proj
-
-
-def tendon_taus(model: Model, kin: Kin, anc: np.ndarray):
+def tendon_taus(model: Model, kin: Kin, anc: np.ndarray, tau):
     """Limited spatial tendons as one-sided stiff springs (ball_in_cup's
     string, reference: suite/ball_in_cup.xml tendon range 0-0.3)."""
-    nl = model.nl
-    tau = jnp.zeros(nl, dtype=kin.R.dtype)
+    qs, ps, _, _, _ = kin.soa
     for t in model.tendons:
-        pa = (kin.p[t.link_a] + kin.R[t.link_a] @ jnp.asarray(t.pos_a, kin.R.dtype)
-              if t.link_a >= 0 else jnp.asarray(t.pos_a, kin.R.dtype))
-        pb = (kin.p[t.link_b] + kin.R[t.link_b] @ jnp.asarray(t.pos_b, kin.R.dtype)
-              if t.link_b >= 0 else jnp.asarray(t.pos_b, kin.R.dtype))
-        delta = pa - pb
-        length = jnp.linalg.norm(delta) + 1e-9
-        dirn = delta / length
+        def site(link, pos):
+            if link < 0:
+                return _const3(pos)
+            return v3.add(ps[link], v3.qrot(qs[link], _const3(pos)))
+
+        pa = site(t.link_a, t.pos_a)
+        pb = site(t.link_b, t.pos_b)
+        delta = v3.sub(pa, pb)
+        length = v3.norm(delta, eps=1e-12) + 1e-9
+        dirn = v3.scale(delta, 1.0 / length)
         stretch = jnp.maximum(length - t.range[1], 0.0)
-        va = _point_velocity(kin, t.link_a, pa)
-        vb = _point_velocity(kin, t.link_b, pb)
-        rate = (va - vb) @ dirn
+        rate = v3.dot(v3.sub(_point_velocity(kin, t.link_a, pa),
+                             _point_velocity(kin, t.link_b, pb)), dirn)
         fmag = t.stiffness * stretch + jnp.where(stretch > 0,
                                                  t.damping * rate, 0.0)
-        f3 = -jnp.maximum(fmag, 0.0) * dirn  # pull a toward b when taut
-        tau = tau + _point_force_taus(kin, anc, t.link_a, pa, f3, nl)
-        tau = tau + _point_force_taus(kin, anc, t.link_b, pb, -f3, nl)
+        f3 = v3.scale(dirn, -jnp.maximum(fmag, 0.0))
+        for link, sign, x in ((t.link_a, 1.0, pa), (t.link_b, -1.0, pb)):
+            ts = _project_point_force(kin, anc, link, x, f3)
+            for j, val in enumerate(ts):
+                if val is not None:
+                    tau[j] = tau[j] + sign * val
     return tau
 
 
@@ -350,7 +518,6 @@ def limit_taus(model: Model, qpos, qvel):
     below = jnp.maximum(lo - qpos, 0.0)
     above = jnp.maximum(qpos - hi, 0.0)
     tau = k * below - k * above
-    # damping only while violating
     viol = ((below > 0) | (above > 0)).astype(qpos.dtype)
     tau = tau - c * qvel * viol
     return tau * limited
@@ -358,52 +525,66 @@ def limit_taus(model: Model, qpos, qvel):
 
 def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
     kin = forward_kinematics(model, qpos, qvel)
-    M = mass_matrix(model, kin)
-    C = bias_forces(model, kin, qvel)
-    dtype = qpos.dtype
-    # actuation: tau_act[dof] += gear * ctrl (ctrl clipped to [-1, 1],
-    # reference: motor ctrlrange, suite/walker.xml:13)
-    tau = jnp.zeros(model.nl, dtype=dtype)
+    M = _mass_matrix_soa(model, kin)
+    C = _bias_forces_soa(model, kin, qvel)
+    # joint-space applied torques (small (nv,) arrays; one op each)
+    tau_vec = jnp.zeros(model.nl, jnp.float32)
     if model.nu:
-        c_clip = jnp.clip(ctrl, -1.0, 1.0)
-        tau = tau.at[jnp.asarray(model.act_dof)].add(
-            jnp.asarray(model.act_gear, dtype) * c_clip
-        )
-    # passive
-    tau = tau - jnp.asarray(model.jnt_damping, dtype) * qvel
-    tau = tau - jnp.asarray(model.jnt_stiffness, dtype) * (
-        qpos - jnp.asarray(model.jnt_springref, dtype)
-    )
-    # dry friction (MuJoCo frictionloss), smoothed sign
+        c_clip = jnp.clip(ctrl.astype(jnp.float32), -1.0, 1.0)
+        tau_vec = tau_vec.at[jnp.asarray(model.act_dof)].add(
+            jnp.asarray(model.act_gear, jnp.float32) * c_clip)
+    tau_vec = tau_vec - jnp.asarray(model.jnt_damping, jnp.float32) * qvel
+    tau_vec = tau_vec - jnp.asarray(model.jnt_stiffness, jnp.float32) * (
+        qpos - jnp.asarray(model.jnt_springref, jnp.float32))
     if np.any(model.jnt_frictionloss):
-        tau = tau - jnp.asarray(model.jnt_frictionloss, dtype) * jnp.tanh(
-            qvel / 0.01)
-    tau = tau + limit_taus(model, qpos, qvel)
+        tau_vec = tau_vec - jnp.asarray(
+            model.jnt_frictionloss, jnp.float32) * jnp.tanh(qvel / 0.01)
+    tau_vec = tau_vec + limit_taus(model, qpos, qvel)
+
+    tau = [tau_vec[i] for i in range(model.nl)]
     if model.tendons:
-        tau = tau + tendon_taus(model, kin, anc)
+        tau = tendon_taus(model, kin, anc, tau)
     if len(model.contact_pairs):
-        Rg, pg = geom_world(model, kin)
-        tau_c, pair_f = contact_taus(model, kin, Rg, pg, anc)
-        tau = tau + tau_c
+        gw = _geom_world_soa(model, kin)
+        tau_c, pair_f = contact_taus(model, kin, gw, anc)
+        tau = [t + tc for t, tc in zip(tau, tau_c)]
     else:
-        pair_f = jnp.zeros(0, dtype=dtype)
-    qacc = jnp.linalg.solve(M, tau - C)
-    return qacc, pair_f
+        pair_f = jnp.zeros((0,), jnp.float32)
+    rhs = [tau[i] - C[i] for i in range(model.nl)]
+    qacc = _solve_spd(M, rhs, model.nl)
+    return jnp.stack(qacc, -1), pair_f
+
+
+def max_penetration(model: Model, qpos) -> jnp.ndarray:
+    """Deepest contact penetration at configuration `qpos` (≤ 0 ⇒ free).
+    Backs collision-free episode initialization (the reference's retry loop
+    checks physics.data.ncon == 0, suite/finger.py:206-216)."""
+    qvel = jnp.zeros_like(qpos)
+    kin = forward_kinematics(model, qpos, qvel)
+    gw = _geom_world_soa(model, kin)
+    depths = [jnp.float32(-1.0)]
+    for (gi, gj) in model.contact_pairs:
+        for (x, n, depth, mu, la, lb) in _contacts_for_pair(
+                model, kin, int(gi), int(gj), gw):
+            depths.append(depth)
+    return jnp.max(jnp.stack(depths))
 
 
 def step(model: Model, qpos, qvel, ctrl) -> StepOut:
     """One physics substep of `model.timestep` seconds."""
     anc = _ancestors(model)
     h = model.timestep
+    qpos = qpos.astype(jnp.float32)
+    qvel = qvel.astype(jnp.float32)
     if model.integrator == "rk4":
-        def f(q, qd):
+        def fdyn(q, qd):
             qacc, pf = _forward_dynamics(model, q, qd, ctrl, anc)
             return qd, qacc, pf
 
-        k1v, k1a, pf = f(qpos, qvel)
-        k2v, k2a, _ = f(qpos + 0.5 * h * k1v, qvel + 0.5 * h * k1a)
-        k3v, k3a, _ = f(qpos + 0.5 * h * k2v, qvel + 0.5 * h * k2a)
-        k4v, k4a, _ = f(qpos + h * k3v, qvel + h * k3a)
+        k1v, k1a, pf = fdyn(qpos, qvel)
+        k2v, k2a, _ = fdyn(qpos + 0.5 * h * k1v, qvel + 0.5 * h * k1a)
+        k3v, k3a, _ = fdyn(qpos + 0.5 * h * k2v, qvel + 0.5 * h * k2a)
+        k4v, k4a, _ = fdyn(qpos + h * k3v, qvel + h * k3a)
         qpos_n = qpos + h / 6 * (k1v + 2 * k2v + 2 * k3v + k4v)
         qvel_n = qvel + h / 6 * (k1a + 2 * k2a + 2 * k3a + k4a)
     else:  # semi-implicit Euler (MuJoCo default)
@@ -426,21 +607,6 @@ def n_steps(model: Model, qpos, qvel, ctrl, n: int) -> StepOut:
     return StepOut(q, qd, pf.max(axis=0))
 
 
-def max_penetration(model: Model, qpos) -> jnp.ndarray:
-    """Deepest contact penetration at configuration `qpos` (≤ 0 ⇒ free).
-    Backs collision-free episode initialization (the reference's retry loop
-    checks physics.data.ncon == 0, suite/finger.py:206-216)."""
-    qvel = jnp.zeros_like(qpos)
-    kin = forward_kinematics(model, qpos, qvel)
-    Rg, pg = geom_world(model, kin)
-    depths = [jnp.float32(-1.0)]
-    for (gi, gj) in model.contact_pairs:
-        for (x, n, depth, mu, la, lb) in _contacts_for_pair(
-                model, kin, int(gi), int(gj), Rg, pg):
-            depths.append(depth)
-    return jnp.max(jnp.stack(depths))
-
-
 # ------------------------------------------------------------------ sensors
 def _subtree_weights(model: Model, root_dof: int):
     anc = _ancestors(model)
@@ -451,14 +617,22 @@ def _subtree_weights(model: Model, root_dof: int):
 def subtree_com(model: Model, kin: Kin, root_dof: int) -> jnp.ndarray:
     """Mass-weighted COM position of the subtree rooted at link `root_dof`."""
     w, total = _subtree_weights(model, root_dof)
-    wj = jnp.asarray(w, kin.R.dtype)
-    return (wj @ kin.com) / total
+    _, _, _, _, coms = kin.soa
+    acc = (jnp.float32(0.0),) * 3
+    for i in range(model.nl):
+        if w[i] > 0:
+            acc = v3.add(acc, v3.scale(coms[i], float(w[i])))
+    return v3.stack(v3.scale(acc, 1.0 / total))
 
 
 def subtree_linvel(model: Model, kin: Kin, root_dof: int) -> jnp.ndarray:
     """Mass-weighted COM velocity of the subtree rooted at link `root_dof`
     (MuJoCo `subtreelinvel` sensor, used by walker/cheetah speed)."""
     w, total = _subtree_weights(model, root_dof)
-    wj = jnp.asarray(w, kin.R.dtype)
-    v_com = jnp.cross(kin.v[:, :3], kin.com) + kin.v[:, 3:]
-    return (wj @ v_com) / total
+    _, _, _, vs, coms = kin.soa
+    acc = (jnp.float32(0.0),) * 3
+    for i in range(model.nl):
+        if w[i] > 0:
+            vcom = v3.add(v3.cross(vs[i][0], coms[i]), vs[i][1])
+            acc = v3.add(acc, v3.scale(vcom, float(w[i])))
+    return v3.stack(v3.scale(acc, 1.0 / total))

@@ -8,18 +8,21 @@ the host, each pixel traces one analytic ray against the geom list entirely
 in jnp:
 
   * primitives: plane (checker texture + edge marks), sphere, capsule,
-    box, cylinder — the full set used by the DMC benchmark domains;
+    box, cylinder, ellipsoid — the full set used by the DMC benchmark
+    domains;
   * outputs the same rgb/depth/segmentation trio as `Camera.render`
     (engine.py:684-762). The segmentation channel gives *exact* background
     masks, replacing the reference's per-pixel HSV chroma-key greenscreen
     (env/wrappers.py:390-420) with a mechanism that cannot misclassify;
   * appearance (material colors, skybox gradient) is a dynamic `Appearance`
     pytree — the color benchmarks become array swaps instead of MJCF XML
-    rewrites (reference: suite/common/settings.py:15-79);
-  * everything is fused elementwise math over a (pixels, geoms) grid —
-    ideal VPU work, vmapped over the env batch.
+    rewrites (reference: suite/common/settings.py:15-79).
 
-Per-geom loops unroll at trace time over the static geom list.
+Layout: ALL hot math is structure-of-arrays (see ops/v3.py) — ray and hit
+state live as tuples of (P,)-shaped component arrays whose last dim is the
+pixel axis, so every op runs full 128-wide VPU lanes instead of padding a
+trailing xyz dim to 128. Closest-hit compositing is a gather-free
+where-chain over the static geom list. Per-geom loops unroll at trace time.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from sgqn_carla_tpu.ops import v3
 from sgqn_carla_tpu.physics.model import (
     BOX, CAPSULE, CYLINDER, ELLIPSOID, PLANE, SPHERE, Model,
 )
@@ -98,104 +102,119 @@ def default_appearance(model: Model) -> Appearance:
 
 
 # --------------------------------------------------------------- primitives
-def _isect_plane(o, d, Rg, pg, size):
-    """Ray vs finite plane patch (local z up, half-extents size[:2])."""
-    n = Rg[:, 2]
-    denom = d @ n
-    t = ((pg - o) @ n) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-    hit_p = o + d * t[..., None]
-    local = (hit_p - pg) @ Rg  # world→local
-    inside = (jnp.abs(local[..., 0]) <= size[0]) & (jnp.abs(local[..., 1]) <= size[1])
-    valid = (t > 1e-4) & inside & (denom < 0)  # front-face only
-    normal = jnp.broadcast_to(n, d.shape)
-    return jnp.where(valid, t, _INF), normal, local
+# o: vec3 of scalars (ray origin); d: vec3 of (P,) arrays (ray directions)
+
+def _isect_plane(o, d, n, p0, ex, ey, size):
+    """Ray vs finite plane patch. n/ex/ey: plane basis (vec3 of scalars)."""
+    denom = v3.dot(d, n)
+    denom_s = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    t = v3.dot(v3.sub(p0, o), n) / denom_s
+    hit = v3.add(o, v3.scale(d, t))
+    rel = v3.sub(hit, p0)
+    lx = v3.dot(rel, ex)
+    ly = v3.dot(rel, ey)
+    inside = (jnp.abs(lx) <= size[0]) & (jnp.abs(ly) <= size[1])
+    valid = (t > 1e-4) & inside & (denom < 0)
+    return jnp.where(valid, t, _INF), (lx, ly), hit
 
 
 def _isect_sphere(o, d, c, r):
-    oc = o - c
-    b = jnp.sum(d * oc, axis=-1)
-    cc = jnp.sum(oc * oc, axis=-1) - r * r
+    oc = v3.sub(o, c)
+    b = v3.dot(d, oc)
+    cc = v3.dot(oc, oc) - r * r
     disc = b * b - cc
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t = -b - sq
     valid = (disc > 0) & (t > 1e-4)
-    hit = o + d * t[..., None]
-    normal = (hit - c) / r
-    return jnp.where(valid, t, _INF), normal
+    t = jnp.where(valid, t, _INF)
+    hit = v3.add(o, v3.scale(d, t))
+    normal = v3.scale(v3.sub(hit, c), 1.0 / r)
+    return t, normal
 
 
-def _isect_capsule(o, d, pa, pb, r):
-    """Ray vs capsule with axis segment [pa, pb]."""
-    ba = pb - pa
-    baba = ba @ ba + 1e-12
-    oa = o - pa
-    bard = jnp.sum(d * ba, axis=-1)
-    baoa = jnp.sum(oa * ba, axis=-1)
-    rdoa = jnp.sum(d * oa, axis=-1)
-    oaoa = jnp.sum(oa * oa, axis=-1)
+def _isect_capsule(o, d, pa, ba, baba, r):
+    """Ray vs capsule with axis segment pa → pa+ba (|ba|² = baba)."""
+    oa = v3.sub(o, pa)
+    bard = v3.dot(d, ba)
+    baoa = v3.dot(oa, ba)
+    rdoa = v3.dot(d, oa)
+    oaoa = v3.dot(oa, oa)
     a = baba - bard * bard
     b = baba * rdoa - baoa * bard
     c = baba * oaoa - baoa * baoa - r * r * baba
     h = b * b - a * c
-    a_safe = jnp.where(jnp.abs(a) < 1e-9, 1e-9, a)
-    t_cyl = (-b - jnp.sqrt(jnp.maximum(h, 0.0))) / a_safe
+    a_s = jnp.where(jnp.abs(a) < 1e-9, 1e-9, a)
+    t_cyl = (-b - jnp.sqrt(jnp.maximum(h, 0.0))) / a_s
     y = baoa + t_cyl * bard
-    cyl_valid = (h > 0) & (y > 0) & (y < baba) & (t_cyl > 1e-4)
-    # cap spheres
+    cyl_ok = (h > 0) & (y > 0) & (y < baba) & (t_cyl > 1e-4)
+    t_cyl = jnp.where(cyl_ok, t_cyl, _INF)
+    # end caps
+    pb = v3.add(pa, ba)
     t_ca, n_ca = _isect_sphere(o, d, pa, r)
     t_cb, n_cb = _isect_sphere(o, d, pb, r)
+    cap_first = t_ca < t_cb
     t_cap = jnp.minimum(t_ca, t_cb)
-    n_cap = jnp.where((t_ca < t_cb)[..., None], n_ca, n_cb)
-    t_cyl_v = jnp.where(cyl_valid, t_cyl, _INF)
-    t = jnp.minimum(t_cyl_v, t_cap)
-    hit = o + d * t[..., None]
-    # cylinder normal: radial from axis
-    proj = pa + ba * (jnp.sum((hit - pa) * ba, axis=-1) / baba)[..., None]
-    n_cyl = (hit - proj) / r
-    normal = jnp.where((t_cyl_v <= t_cap)[..., None], n_cyl, n_cap)
+    n_cap = v3.where(cap_first, n_ca, n_cb)
+    t = jnp.minimum(t_cyl, t_cap)
+    # cylinder-wall normal: radial from the axis
+    hit = v3.add(o, v3.scale(d, t))
+    s_ax = v3.dot(v3.sub(hit, pa), ba) / baba
+    proj = v3.add(pa, v3.scale(ba, s_ax))
+    n_cyl = v3.scale(v3.sub(hit, proj), 1.0 / r)
+    normal = v3.where(t_cyl <= t_cap, n_cyl, n_cap)
     return t, normal
 
 
-def _isect_box(o, d, Rg, pg, size):
-    """Slab method in the box local frame."""
-    ol = (o - pg) @ Rg
-    dl = d @ Rg
-    dl_safe = jnp.where(jnp.abs(dl) < 1e-9, 1e-9, dl)
-    t1 = (-size - ol) / dl_safe
-    t2 = (size - ol) / dl_safe
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    valid = (tmax > tmin) & (tmax > 1e-4) & (tmin > 1e-4)
-    # face normal: axis of largest |local hit| ratio
-    hit_l = ol + dl * tmin[..., None]
-    ratio = hit_l / size
-    axis = jnp.argmax(jnp.abs(ratio), axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(ratio, axis[..., None], axis=-1))[..., 0]
-    n_local = jax.nn.one_hot(axis, 3) * sign[..., None]
-    normal = n_local @ Rg.T
-    return jnp.where(valid, tmin, _INF), normal
+def _isect_box(o, d, axes, p0, size):
+    """Slab method; axes = (ex, ey, ez) box basis (vec3 of scalars)."""
+    rel = v3.sub(o, p0)
+    tmin = jnp.full_like(d[0], -_INF)
+    tmax = jnp.full_like(d[0], _INF)
+    n_x = jnp.zeros_like(d[0])
+    n_y = jnp.zeros_like(d[0])
+    n_z = jnp.zeros_like(d[0])
+    for k in range(3):
+        ax = axes[k]
+        ol = v3.dot(rel, ax)
+        dl = v3.dot(d, ax)
+        dl_s = jnp.where(jnp.abs(dl) < 1e-9, 1e-9, dl)
+        t1 = (-size[k] - ol) / dl_s
+        t2 = (size[k] - ol) / dl_s
+        tlo = jnp.minimum(t1, t2)
+        thi = jnp.maximum(t1, t2)
+        enters = tlo > tmin
+        sign = -jnp.sign(dl_s)
+        n_x = jnp.where(enters, ax[0] * sign, n_x)
+        n_y = jnp.where(enters, ax[1] * sign, n_y)
+        n_z = jnp.where(enters, ax[2] * sign, n_z)
+        tmin = jnp.maximum(tmin, tlo)
+        tmax = jnp.minimum(tmax, thi)
+    valid = (tmax > tmin) & (tmin > 1e-4)
+    return jnp.where(valid, tmin, _INF), (n_x, n_y, n_z)
 
 
 # ------------------------------------------------------------------ shading
-def _checker_color(local_xy, app: Appearance):
+def _checker_color(lx, ly, app: Appearance):
     """MuJoCo builtin=checker with mark=edge, ~0.5 m squares (texuniform)."""
     cell = 0.5
-    u = local_xy[..., 0] / cell
-    v = local_xy[..., 1] / cell
+    u = lx / cell
+    w = ly / cell
     iu = jnp.floor(u)
-    iv = jnp.floor(v)
-    par = jnp.mod(iu + iv, 2.0)
-    base = jnp.where(par[..., None] > 0.5, app.grid_rgb2, app.grid_rgb1)
+    iw = jnp.floor(w)
+    par = jnp.mod(iu + iw, 2.0) > 0.5
+    base = v3.where(par, v3.unstack(app.grid_rgb2, 0),
+                    v3.unstack(app.grid_rgb1, 0))
     fu = u - iu
-    fv = v - iv
-    edge = (fu < 0.06) | (fv < 0.06) | (fu > 0.94) | (fv > 0.94)
-    return jnp.where(edge[..., None], app.grid_markrgb, base)
+    fw = w - iw
+    edge = (fu < 0.06) | (fw < 0.06) | (fu > 0.94) | (fw > 0.94)
+    return v3.where(edge, v3.unstack(app.grid_markrgb, 0), base)
 
 
 def _sky_color(d, app: Appearance):
     """builtin=gradient skybox: rgb1 up → rgb2 down."""
-    s = jnp.clip(d[..., 2] * 0.5 + 0.5, 0.0, 1.0)[..., None]
-    return app.skybox_rgb * s + app.skybox_rgb2 * (1.0 - s)
+    s = jnp.clip(d[2] * 0.5 + 0.5, 0.0, 1.0)
+    return v3.lerp(v3.unstack(app.skybox_rgb2, 0),
+                   v3.unstack(app.skybox_rgb, 0), s)
 
 
 def render_scene(
@@ -208,114 +227,110 @@ def render_scene(
     width: int,
     background: Optional[jnp.ndarray] = None,  # (H, W, 3) float [0,1]
     bg_mask_materials: Tuple[str, ...] = (),
-    material_color_fns: Optional[dict] = None,  # name → fn(local_xy, world_p)
+    material_color_fns: Optional[dict] = None,  # name → fn(lx, ly, world_v3)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Trace the scene. Returns (rgb uint8 (H,W,3), depth f32, seg int32).
+    """Trace the scene. Returns (rgb uint8 (H,W,3), depth f32 (H,W),
+    seg int32 (H,W); seg = closest geom index, -1 for sky).
 
-    seg = geom index of the closest hit, -1 for sky — the segmentation
-    output of the reference's `Camera.render(segmentation=True)`
-    (engine.py:684-762). If `background` is given, sky pixels (and pixels
-    hitting geoms whose material is in `bg_mask_materials`) are composited
-    with it — the video_easy/video_hard mechanism.
-    """
+    If `background` is given, sky pixels (and pixels hitting geoms whose
+    material is in `bg_mask_materials`) are composited with it — the
+    video_easy/video_hard mechanism."""
     f = jnp.float32
-    # pixel rays
+    P = height * width
+    # pixel rays (components; pixel axis is the last/lane dim everywhere)
     tan_half = np.tan(np.deg2rad(camera.fovy) / 2)
     ys = (1.0 - 2.0 * (jnp.arange(height, dtype=f) + 0.5) / height) * tan_half
     xs = (2.0 * (jnp.arange(width, dtype=f) + 0.5) / width - 1.0) * tan_half * (
-        width / height
-    )
-    dir_cam = jnp.stack(
-        [
-            jnp.broadcast_to(xs[None, :], (height, width)),
-            jnp.broadcast_to(ys[:, None], (height, width)),
-            -jnp.ones((height, width), f),
-        ],
-        axis=-1,
-    )
-    d = dir_cam @ camera.R.T
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    d = d.reshape(-1, 3)
-    o = camera.pos.astype(f)
+        width / height)
+    cx = jnp.broadcast_to(xs[None, :], (height, width)).reshape(P)
+    cy = jnp.broadcast_to(ys[:, None], (height, width)).reshape(P)
+    R = camera.R
+    dx = R[0, 0] * cx + R[0, 1] * cy - R[0, 2]
+    dy = R[1, 0] * cx + R[1, 1] * cy - R[1, 2]
+    dz = R[2, 0] * cx + R[2, 1] * cy - R[2, 2]
+    d, _ = v3.normalize((dx, dy, dz))
+    o = (camera.pos[0].astype(f), camera.pos[1].astype(f),
+         camera.pos[2].astype(f))
 
-    # running closest-hit state (gather-free: TPU hates argmin+gather over a
-    # stacked (G, P) tensor; a where-chain over the static geom list fuses
-    # into pure elementwise VPU work instead)
-    t_min = jnp.full(d.shape[:1], _INF, f)
-    n_min = jnp.zeros_like(d)
-    c_min = jnp.zeros_like(d)
-    seg = jnp.full(d.shape[:1], -1, jnp.int32)
+    # running closest-hit state (gather-free where-chain)
+    t_min = jnp.full((P,), _INF, f)
+    n_min = (jnp.zeros((P,), f),) * 3
+    c_min = (jnp.zeros((P,), f),) * 3
+    seg = jnp.full((P,), -1, jnp.int32)
 
     for i, g in enumerate(model.geoms):
         if g.group > 2 or g.rgba[3] == 0.0:
             continue
-        size = jnp.asarray(g.size, f)
-        R_i, p_i = Rg[i].astype(f), pg[i].astype(f)
-        base_rgb = app.geom_rgba[i, :3]
+        Ri, pi = Rg[i].astype(f), pg[i].astype(f)
+        p0 = (pi[0], pi[1], pi[2])
+        ex = (Ri[0, 0], Ri[1, 0], Ri[2, 0])
+        ey = (Ri[0, 1], Ri[1, 1], Ri[2, 1])
+        ez = (Ri[0, 2], Ri[1, 2], Ri[2, 2])
+        base = app.geom_rgba[i]
+        col = (base[0], base[1], base[2])
         if g.gtype == PLANE:
-            t, n, local = _isect_plane(o, d, R_i, p_i, g.size)
+            t, (lx, ly), hit = _isect_plane(o, d, ez, p0, ex, ey, g.size)
+            n = ez
             if material_color_fns and g.material in material_color_fns:
-                hit_p = o + d * t[..., None]
-                col = material_color_fns[g.material](local, hit_p)
+                col = material_color_fns[g.material](lx, ly, hit)
             elif g.material == "grid":
-                col = _checker_color(local, app)
-            else:
-                col = jnp.broadcast_to(base_rgb, d.shape)
+                col = _checker_color(lx, ly, app)
         elif g.gtype == SPHERE:
-            t, n = _isect_sphere(o, d, p_i, float(g.size[0]))
-            col = jnp.broadcast_to(base_rgb, d.shape)
+            t, n = _isect_sphere(o, d, p0, float(g.size[0]))
         elif g.gtype in (CAPSULE, CYLINDER):
             hl = float(g.size[1])
-            axis = R_i[:, 2]
-            t, n = _isect_capsule(o, d, p_i - axis * hl, p_i + axis * hl,
-                                  float(g.size[0]))
-            col = jnp.broadcast_to(base_rgb, d.shape)
+            pa = v3.sub(p0, v3.scale(ez, hl))
+            ba = v3.scale(ez, 2 * hl)
+            t, n = _isect_capsule(o, d, pa, ba, (2 * hl) ** 2, float(g.size[0]))
         elif g.gtype == BOX:
-            t, n = _isect_box(o, d, R_i, p_i, size)
-            col = jnp.broadcast_to(base_rgb, d.shape)
+            t, n = _isect_box(o, d, (ex, ey, ez), p0, g.size)
         elif g.gtype == ELLIPSOID:
             # scale space so the ellipsoid is a unit sphere
-            s = size + 1e-9
-            o_s = ((o - p_i) @ R_i) / s
-            d_s = (d @ R_i) / s
-            nrm = jnp.linalg.norm(d_s, axis=-1, keepdims=True)
-            t, n_s = _isect_sphere(o_s, d_s / nrm, jnp.zeros(3, f), 1.0)
-            t = t / nrm[..., 0]
-            n = (n_s / s) @ R_i.T
-            n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
-            col = jnp.broadcast_to(base_rgb, d.shape)
+            s = np.asarray(g.size) + 1e-9
+            rel = v3.sub(o, p0)
+            o_s = (v3.dot(rel, ex) / s[0], v3.dot(rel, ey) / s[1],
+                   v3.dot(rel, ez) / s[2])
+            d_s = (v3.dot(d, ex) / s[0], v3.dot(d, ey) / s[1],
+                   v3.dot(d, ez) / s[2])
+            d_su, nrm = v3.normalize(d_s)
+            zero3 = (jnp.float32(0),) * 3
+            t, n_s = _isect_sphere(o_s, d_su, zero3, 1.0)
+            t = t / nrm
+            # local normal components / size, back to world
+            nx, ny, nz = n_s[0] / s[0], n_s[1] / s[1], n_s[2] / s[2]
+            n = v3.add(v3.add(v3.scale(ex, nx), v3.scale(ey, ny)),
+                       v3.scale(ez, nz))
+            n, _ = v3.normalize(n)
         else:
             continue
-        # gather-free closest-hit update: a where-chain over the static geom
-        # list fuses into elementwise VPU work (argmin + take_along_axis
-        # gathers over a stacked (G, P) tensor are pathological on TPU)
         closer = t < t_min
         t_min = jnp.where(closer, t, t_min)
-        n_min = jnp.where(closer[..., None], n, n_min)
-        c_min = jnp.where(closer[..., None], col, c_min)
+        n_min = v3.where(closer, n if isinstance(n, tuple) else n, n_min)
+        c_min = v3.where(closer, col, c_min)
         seg = jnp.where(closer, i, seg)
 
     hit = t_min < _INF * 0.5
 
     # headlight shading (reference: common/visual.xml — ambient .4 diffuse .8)
-    ndotl = jnp.maximum(-jnp.sum(n_min * d, axis=-1), 0.0)
-    shade = jnp.clip(0.4 + 0.8 * ndotl, 0.0, 1.3)[..., None]
-    rgb = c_min * shade
+    ndotl = jnp.maximum(-v3.dot(n_min, d), 0.0)
+    shade = jnp.clip(0.4 + 0.8 * ndotl, 0.0, 1.3)
+    rgb = v3.scale(c_min, shade)
 
     sky = _sky_color(d, app)
-    rgb = jnp.where(hit[..., None], rgb, sky)
+    rgb = v3.where(hit, rgb, sky)
     seg = jnp.where(hit, seg, -1)
 
     if background is not None:
-        bg = background.reshape(-1, 3).astype(f)
+        bgf = background.astype(f).reshape(P, 3)
+        bg = (bgf[:, 0], bgf[:, 1], bgf[:, 2])
         bg_mask = ~hit
         if bg_mask_materials:
             for gid, g in enumerate(model.geoms):
                 if g.material in bg_mask_materials:
                     bg_mask = bg_mask | (seg == gid)
-        rgb = jnp.where(bg_mask[..., None], bg, rgb)
+        rgb = v3.where(bg_mask, bg, rgb)
 
-    rgb8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
+    rgb8 = jnp.clip(v3.stack(rgb) * 255.0, 0, 255).astype(jnp.uint8)
     return (
         rgb8.reshape(height, width, 3),
         t_min.reshape(height, width),

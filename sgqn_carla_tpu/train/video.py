@@ -65,5 +65,10 @@ class VideoRecorder:
         except Exception:
             stem = base.rsplit(".", 1)[0]
             np.save(stem + ".npy", frames)
-            for i in range(0, len(frames), max(1, len(frames) // 8)):
-                _write_png(f"{stem}_f{i:04d}.png", frames[i])
+            idxs = list(range(0, len(frames), max(1, len(frames) // 8)))
+            paths = [f"{stem}_f{i:04d}.png" for i in idxs]
+            from sgqn_carla_tpu.core import native
+
+            if not native.png_write_batch(frames[idxs], paths):
+                for i, p in zip(idxs, paths):
+                    _write_png(p, frames[i])
