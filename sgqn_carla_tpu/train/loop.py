@@ -131,18 +131,59 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
 
     states, obs = venv.reset(k_env)
     rstate = jax.jit(buffer.add_reset)(rstate, obs)
-    add_fn = jax.jit(buffer.add)
-    step_fn = jax.jit(venv.step)
+    add_reset_fn = jax.jit(buffer.add_reset)
+
+    from sgqn_carla_tpu.train.fused import FusedTrainer
+
+    trainer = FusedTrainer(agent, venv, buffer)
+    ep_len = env.max_episode_steps
 
     episode = 0
-    episode_reward = np.zeros(cfg.num_envs)
+    step = 0  # wrapper steps per env (reference `step` semantics)
     start = time.time()
     total_steps = cfg.train_steps
     last_metrics = {}
+    caught_up = cfg.init_steps <= 0
+    next_eval = cfg.eval_freq
+    next_save = cfg.save_freq
 
-    for step in range(total_steps + 1):
+    while step < total_steps:
+        # ---- one fused episode chunk: act → env → replay [→ update] × T
+        length = min(ep_len, total_steps - step)
+        if step + length <= cfg.init_steps:
+            rng, k = jax.random.split(rng)
+            states, rstate, obs, _, ep_rewards = trainer.random_chunk(
+                length, states, rstate, obs, k)
+            metrics = {}
+        else:
+            if not caught_up:
+                # reference init_steps update burst (train.py:241-246)
+                astate, _ = trainer.catch_up(cfg.init_steps, astate, rstate)
+                caught_up = True
+            rng, k = jax.random.split(rng)
+            astate, states, rstate, obs, _, ep_rewards, metrics = (
+                trainer.run_chunk(length, True, astate, states, rstate, obs, k))
+        step += length
+
+        ep_reward = float(np.asarray(ep_rewards).mean())
+        L.log("train/episode_reward", ep_reward, step)
+        L.log("train/episode", episode, step)
+        L.log("train/duration", time.time() - start, step)
+        for k2, v in metrics.items():
+            L.log(_METRIC_KEYS.get(k2, f"train/{k2}"), v, step)
+            last_metrics[k2] = float(np.asarray(v))
+        L.dump(step)
+        start = time.time()
+        episode += 1
+
+        # ---- reset all envs (lockstep episodes; DMC has no early term)
+        rng, k_r = jax.random.split(rng)
+        states, obs = venv.reset(k_r)
+        rstate = add_reset_fn(rstate, obs)
+
         # ---- periodic evaluation (reference: train.py:184-204)
-        if cfg.eval_mode is not None and step % cfg.eval_freq == 0 and step > 0:
+        if cfg.eval_mode is not None and step >= next_eval:
+            next_eval += cfg.eval_freq * ((step - next_eval) // cfg.eval_freq + 1)
             rng, k_ev = jax.random.split(rng)
             video.init(enabled=True)
             L.log("eval/episode_reward",
@@ -156,50 +197,14 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             L.dump(step)
 
         # ---- periodic checkpoint (reference: train.py:206-219)
-        if step % cfg.save_freq == 0 and step > 0:
+        if step >= next_save:
+            next_save += cfg.save_freq * ((step - next_save) // cfg.save_freq + 1)
             ckpt.save(model_dir,
                       {"params": astate.params,
                        "target_params": astate.target_params,
                        "log_alpha": astate.log_alpha,
                        "aux_params": astate.aux_params}, step)
 
-        if step == total_steps:
-            break
-
-        # ---- updates (reference: train.py:241-246 — init_steps catch-up)
-        if step >= cfg.init_steps:
-            num_updates = cfg.init_steps if step == cfg.init_steps else 1
-            for _ in range(num_updates):
-                astate, metrics = agent.update(astate, rstate, buffer)
-            last_metrics = metrics
-            for k, v in metrics.items():
-                L.log(_METRIC_KEYS.get(k, f"train/{k}"), v, step)
-
-        # ---- act (random until init_steps; reference: train.py:227-239)
-        rng, k_act = jax.random.split(rng)
-        if step < cfg.init_steps:
-            actions = jax.random.uniform(
-                k_act, (cfg.num_envs, env.action_size), minval=-1.0, maxval=1.0)
-        else:
-            actions = agent.sample_action(astate, obs, k_act)
-
-        states, res = step_fn(states, actions)
-        rstate = add_fn(rstate, actions, res.reward, res.obs)
-        obs = res.obs
-        episode_reward += np.asarray(res.reward)
-
-        if bool(np.asarray(res.done).all()):
-            L.log("train/episode_reward", float(episode_reward.mean()), step + 1)
-            L.log("train/episode", episode, step + 1)
-            L.log("train/duration", time.time() - start, step + 1)
-            L.dump(step + 1)
-            start = time.time()
-            episode += 1
-            episode_reward[:] = 0
-            rng, k_r = jax.random.split(rng)
-            states, obs = venv.reset(k_r)
-            rstate = jax.jit(buffer.add_reset)(rstate, obs)
-
     print("Completed training for", work_dir)
     return {"work_dir": work_dir, "episodes": episode,
-            "final_metrics": {k: float(v) for k, v in last_metrics.items()}}
+            "final_metrics": last_metrics}
