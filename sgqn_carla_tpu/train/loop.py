@@ -146,6 +146,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     caught_up = cfg.init_steps <= 0
     next_eval = cfg.eval_freq
     next_save = cfg.save_freq
+    next_viz = 10_000
 
     while step < total_steps:
         # ---- one fused episode chunk: act → env → replay [→ update] × T
@@ -195,6 +196,20 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                       evaluate(agent, astate, te, cfg.eval_episodes, k_te),
                       step)
             L.dump(step)
+
+        # ---- SGQN attribution imagery every 10k steps
+        # (reference: sgsac.py:99-102 tensorboard logging cadence)
+        if cfg.algorithm == "sgsac" and step >= next_viz and caught_up:
+            next_viz += 10_000 * ((step - next_viz) // 10_000 + 1)
+            from sgqn_carla_tpu.agents.visualize import save_attribution_images
+            from sgqn_carla_tpu.ops import augment
+
+            rng, k_v, k_c = jax.random.split(rng, 3)
+            batch = buffer.sample_raw(rstate, k_v, 4)
+            vb_obs = augment.random_crop(k_c, batch.obs, cfg.image_crop_size)
+            save_attribution_images(
+                agent, astate, np.asarray(vb_obs), np.asarray(batch.action),
+                os.path.join(work_dir, "output"), step)
 
         # ---- periodic checkpoint (reference: train.py:206-219)
         if step >= next_save:
