@@ -17,7 +17,7 @@ while sharing parameters.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,24 +45,30 @@ _linear_init = nn.initializers.orthogonal(1.0)
 
 
 class SharedCNN(nn.Module):
-    """11-layer CNN: center-crop 84 → /255 → conv(s2) → 10×conv(s1)."""
+    """11-layer CNN: center-crop 84 → /255 → conv(s2) → 10×conv(s1).
+
+    `dtype` is the computation dtype — bf16 runs the convs on the MXU at
+    twice the f32 rate (params stay f32; callers cast outputs back)."""
 
     num_layers: int = 11
     num_filters: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, act: Callable = nn.relu):
         # x: (B, C, H, W) uint8/float, reference layout
         x = center_crop(x, 84)
-        x = jnp.transpose(x, (0, 2, 3, 1)).astype(jnp.float32) / 255.0
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype) / 255.0
         x = nn.Conv(self.num_filters, (3, 3), strides=2, padding="VALID",
                     kernel_init=_delta_orthogonal(),
-                    bias_init=nn.initializers.zeros, name="conv0")(x)
+                    bias_init=nn.initializers.zeros, name="conv0",
+                    dtype=self.dtype)(x)
         for i in range(1, self.num_layers):
             x = act(x)
             x = nn.Conv(self.num_filters, (3, 3), strides=1, padding="VALID",
                         kernel_init=_delta_orthogonal(),
-                        bias_init=nn.initializers.zeros, name=f"conv{i}")(x)
+                        bias_init=nn.initializers.zeros, name=f"conv{i}",
+                        dtype=self.dtype)(x)
         return x  # (B, 21, 21, 32) for defaults
 
 
@@ -71,6 +77,7 @@ class HeadCNN(nn.Module):
 
     num_layers: int = 0
     num_filters: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, act: Callable = nn.relu):
@@ -78,24 +85,29 @@ class HeadCNN(nn.Module):
             x = act(x)
             x = nn.Conv(self.num_filters, (3, 3), strides=1, padding="VALID",
                         kernel_init=_delta_orthogonal(),
-                        bias_init=nn.initializers.zeros, name=f"hconv{i}")(x)
+                        bias_init=nn.initializers.zeros, name=f"hconv{i}",
+                        dtype=self.dtype)(x)
         return x.reshape(x.shape[0], -1)
 
 
 class Trunk(nn.Module):
     """SharedCNN + HeadCNN — the parameter set shared by actor and critic
-    (reference: sac.py:29-44 shares the module objects)."""
+    (reference: sac.py:29-44 shares the module objects). Computation runs in
+    `dtype` (bf16 by default on TPU); the flattened features are cast back
+    to f32 so losses/heads keep full precision."""
 
     num_shared_layers: int = 11
     num_head_layers: int = 0
     num_filters: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, act: Callable = nn.relu):
         x = SharedCNN(self.num_shared_layers, self.num_filters,
-                      name="shared")(x, act)
-        return HeadCNN(self.num_head_layers, self.num_filters,
-                       name="head")(x, act)
+                      dtype=self.dtype, name="shared")(x, act)
+        x = HeadCNN(self.num_head_layers, self.num_filters,
+                    dtype=self.dtype, name="head")(x, act)
+        return x.astype(jnp.float32)
 
 
 class RLProjection(nn.Module):

@@ -65,8 +65,10 @@ class SAC:
         self.target_entropy = -float(np.prod(action_shape))
         self.overlay_pool = overlay_pool
 
+        compute_dtype = (jnp.bfloat16 if cfg.precision == "bf16"
+                         else jnp.float32)
         self.trunk_def = nets.Trunk(cfg.num_shared_layers, cfg.num_head_layers,
-                                    cfg.num_filters)
+                                    cfg.num_filters, dtype=compute_dtype)
         self.actor_def = nets.ActorHead(
             self.action_dim, cfg.hidden_dim, cfg.projection_dim,
             cfg.actor_log_std_min, cfg.actor_log_std_max)

@@ -136,6 +136,7 @@ class Config:
     eval_render_size: int = 448  # video-recorder resolution (reference: src/video.py:12)
     mesh_data_axis: int = 1      # data-parallel mesh extent (1 = single chip)
     obs_dtype: str = "uint8"
+    precision: str = "bf16"      # trunk conv compute dtype: "bf16" | "f32"
     replay_capacity: int = 0     # 0 → derived: min(train_steps, 100_000) per reference utils.py:95
 
     # derived (set by finalize)
