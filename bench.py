@@ -27,6 +27,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: the rollout program is large and the remote
+# compile path is slow; a warm cache turns the ~5 min first compile into
+# seconds on repeat runs in the same container.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def bench_env_steps(num_envs: int, inner: int, reps: int) -> float:
     from sgqn_carla_tpu.envs import make_env

@@ -137,6 +137,8 @@ class Config:
     mesh_data_axis: int = 1      # data-parallel mesh extent (1 = single chip)
     obs_dtype: str = "uint8"
     precision: str = "bf16"      # trunk conv compute dtype: "bf16" | "f32"
+    profile_dir: str = ""        # if set, jax.profiler traces the first
+                                 # post-warmup episode chunk into this dir
     replay_capacity: int = 0     # 0 → derived: min(train_steps, 100_000) per reference utils.py:95
 
     # derived (set by finalize)

@@ -26,8 +26,8 @@ class VectorEnv:
     def __init__(self, env: DMCPixelEnv, num_envs: int):
         self.env = env
         self.num_envs = num_envs
-        self._reset = jax.vmap(env.reset)
-        self._step = jax.vmap(env.step)
+        self._reset = jax.jit(jax.vmap(env.reset))
+        self._step = jax.vmap(env.step)  # callers jit the composition
 
     @property
     def obs_shape(self):

@@ -162,8 +162,18 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                 astate, _ = trainer.catch_up(cfg.init_steps, astate, rstate)
                 caught_up = True
             rng, k = jax.random.split(rng)
+            profiling = bool(cfg.profile_dir) and episode == (
+                cfg.init_steps // ep_len + 2)
+            if profiling:  # trace one steady-state chunk (SURVEY §5: the
+                # reference has no profiler hooks; we bake them in)
+                jax.profiler.start_trace(cfg.profile_dir)
             astate, states, rstate, obs, _, ep_rewards, metrics = (
                 trainer.run_chunk(length, True, astate, states, rstate, obs, k))
+            if profiling:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready()
+                    if hasattr(x, "block_until_ready") else x, ep_rewards)
+                jax.profiler.stop_trace()
         step += length
 
         ep_reward = float(np.asarray(ep_rewards).mean())
