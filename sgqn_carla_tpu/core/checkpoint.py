@@ -24,7 +24,16 @@ except Exception:  # pragma: no cover
 
 
 def _np_tree(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+    """Host-copy a pytree. Zero-size leaves (e.g. a contact-force array for a
+    contactless model) are replaced with a 1-element placeholder — orbax
+    refuses zero-size arrays — and reconstructed from `like` at restore."""
+    def conv(x):
+        a = np.asarray(x)
+        if a.size == 0:
+            return np.zeros((1,), np.float32)
+        return a
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def save(path: str, tree: Any, step: int):
@@ -49,9 +58,14 @@ def restore(path: str, step: int, like: Any) -> Optional[Any]:
             return None
         ckpt = ocp.PyTreeCheckpointer()
         restored = ckpt.restore(target, item=_np_tree(like))
-        return jax.tree_util.tree_map(
-            lambda l, r: np.asarray(r).astype(np.asarray(l).dtype), like,
-            restored)
+
+        def back(l, r):
+            la = np.asarray(l)
+            if la.size == 0:  # placeholder round-trip (see _np_tree)
+                return la
+            return np.asarray(r).astype(la.dtype)
+
+        return jax.tree_util.tree_map(back, like, restored)
     f = os.path.join(path, f"{step}.npz")
     if not os.path.exists(f):
         return None

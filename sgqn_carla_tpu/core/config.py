@@ -139,7 +139,19 @@ class Config:
     precision: str = "bf16"      # trunk conv compute dtype: "bf16" | "f32"
     profile_dir: str = ""        # if set, jax.profiler traces the first
                                  # post-warmup episode chunk into this dir
-    replay_capacity: int = 0     # 0 → derived: min(train_steps, 100_000) per reference utils.py:95
+    resume: bool = True          # auto-restore from <work_dir>/resume if a
+                                 # checkpoint exists (reference CANNOT resume:
+                                 # train.py:135-137 asserts the dir is new)
+    checkpoint_replay: bool = False  # include env states + the full replay
+                                 # ring in resume checkpoints (bit-identical
+                                 # continuation; costs disk ∝ replay_capacity)
+    replay_capacity: int = 0     # 0 → derived: min(train_steps, 100_000).
+                                 # Deliberate HBM-driven divergence: the reference
+                                 # allocates capacity=train_steps (600k) of host RAM
+                                 # (reference: train.py:148-153); an on-device uint8
+                                 # frame ring at 600k steps is ~15 GB/env-stream
+                                 # (SURVEY §7 hard part #6), so we cap at 100k and
+                                 # let users raise it explicitly when HBM allows.
 
     # derived (set by finalize)
     image_size: int = 84

@@ -129,10 +129,13 @@ class ReplayBuffer:
         """Uniform (env, episode, step) over completed episodes."""
         ke, kp, ks = jax.random.split(rng, 3)
         env_i = jax.random.randint(ke, (batch_size,), 0, self.num_envs)
-        n = jnp.maximum(state.num_eps, 1)
-        r = jax.random.randint(kp, (batch_size,), 0, n)
-        # skip the in-progress slot when the ring is full
+        # when the ring is full, the slot at ep_ptr is being overwritten, so
+        # only num_episodes-1 slots hold intact completed episodes: draw
+        # r ∈ [0, num_eps - full) and remap past the write head so ep_ptr
+        # itself is never sampled (no write-head straddle)
         full = state.num_eps >= self.num_episodes
+        n = jnp.maximum(state.num_eps - full.astype(jnp.int32), 1)
+        r = jax.random.randint(kp, (batch_size,), 0, n)
         ep_i = jnp.where(
             full,
             (state.ep_ptr + 1 + r) % self.num_episodes,

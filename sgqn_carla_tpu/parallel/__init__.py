@@ -1,6 +1,9 @@
 from sgqn_carla_tpu.parallel.mesh import (  # noqa: F401
     MeshSpec,
     make_mesh,
-    shard_batch,
+    put_env_batch,
+    put_replicated,
+    put_sharded,
     replicate,
+    shard_batch,
 )

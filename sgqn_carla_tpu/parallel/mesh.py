@@ -79,3 +79,19 @@ def put_replicated(tree, mesh: Mesh):
     """Device-put a pytree fully replicated over the mesh."""
     s = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def put_env_batch(tree, mesh: Mesh, num_envs: int):
+    """Device-put a pytree whose leaves are either per-env batches (leading
+    axis == num_envs → sharded over ``data``) or shared scalars/pointers
+    (replicated). This is the production layout for env states and replay
+    state in the training driver."""
+    data_sh = shard_batch(mesh)
+    repl = replicate(mesh)
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_envs:
+            return jax.device_put(x, data_sh)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, tree)

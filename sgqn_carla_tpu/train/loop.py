@@ -129,8 +129,33 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     rng, k_init, k_env = jax.random.split(rng, 3)
     astate = agent.init_state(k_init)
 
+    # ---- multi-chip mesh: env batch / replay sharded over `data`,
+    # parameters + optimizer state replicated (gradient combination =
+    # XLA-inserted psum over ICI). SURVEY §2.4: data parallelism over the
+    # env batch IS the production multi-chip layout for this workload.
+    mesh = None
+    if cfg.mesh_data_axis > 1:
+        from sgqn_carla_tpu import parallel as par
+
+        assert cfg.num_envs % cfg.mesh_data_axis == 0, (
+            f"num_envs={cfg.num_envs} must divide over "
+            f"mesh_data_axis={cfg.mesh_data_axis}")
+        mesh = par.make_mesh(par.MeshSpec(data=cfg.mesh_data_axis))
+
+    def shard_env(tree):
+        if mesh is None:
+            return tree
+        return par.put_env_batch(tree, mesh, cfg.num_envs)
+
+    def shard_repl(tree):
+        if mesh is None:
+            return tree
+        return par.put_replicated(tree, mesh)
+
+    astate = shard_repl(astate)
     states, obs = venv.reset(k_env)
-    rstate = jax.jit(buffer.add_reset)(rstate, obs)
+    states, obs = shard_env(states), shard_env(obs)
+    rstate = shard_env(jax.jit(buffer.add_reset)(rstate, obs))
     add_reset_fn = jax.jit(buffer.add_reset)
 
     from sgqn_carla_tpu.train.fused import FusedTrainer
@@ -147,6 +172,39 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     next_eval = cfg.eval_freq
     next_save = cfg.save_freq
     next_viz = 10_000
+
+    # ---- true resume (reference CANNOT: train.py:135-137 asserts the work
+    # dir does not exist; optimizer/rng/replay never persisted — SURVEY §5).
+    # The resume checkpoint snapshots the loop state exactly at the top of
+    # the while loop: agent (params + all optimizer states + agent rng),
+    # driver rng, counters, and — when cfg.checkpoint_replay — the env
+    # states, obs, and the full replay ring, so a killed run continues
+    # bit-identically.
+    resume_dir = os.path.join(work_dir, "resume")
+    if cfg.resume:
+        last = ckpt.latest_step(resume_dir)
+        if last is not None:
+            full_like = {"astate": astate, "rng": rng, "episode": 0,
+                         "caught_up": False, "next_eval": 0, "next_save": 0,
+                         "next_viz": 0}
+            if cfg.checkpoint_replay:
+                full_like.update(states=states, obs=obs, rstate=rstate)
+            restored = ckpt.restore(resume_dir, last, full_like)
+            if restored is not None:
+                to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+                astate = shard_repl(to_dev(restored["astate"]))
+                rng = jnp.asarray(restored["rng"])
+                step = last
+                episode = int(restored["episode"])
+                caught_up = bool(restored["caught_up"])
+                next_eval = int(restored["next_eval"])
+                next_save = int(restored["next_save"])
+                next_viz = int(restored["next_viz"])
+                if cfg.checkpoint_replay:
+                    states = shard_env(to_dev(restored["states"]))
+                    obs = shard_env(jnp.asarray(restored["obs"]))
+                    rstate = shard_env(to_dev(restored["rstate"]))
+                print(f"Resumed from {resume_dir} at step {step}")
 
     while step < total_steps:
         # ---- one fused episode chunk: act → env → replay [→ update] × T
@@ -190,6 +248,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         # ---- reset all envs (lockstep episodes; DMC has no early term)
         rng, k_r = jax.random.split(rng)
         states, obs = venv.reset(k_r)
+        states, obs = shard_env(states), shard_env(obs)
         rstate = add_reset_fn(rstate, obs)
 
         # ---- periodic evaluation (reference: train.py:184-204)
@@ -224,11 +283,20 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         # ---- periodic checkpoint (reference: train.py:206-219)
         if step >= next_save:
             next_save += cfg.save_freq * ((step - next_save) // cfg.save_freq + 1)
+            # weights-only checkpoint: reference-parity format, consumed by
+            # the offline eval driver (train/eval.py)
             ckpt.save(model_dir,
                       {"params": astate.params,
                        "target_params": astate.target_params,
                        "log_alpha": astate.log_alpha,
                        "aux_params": astate.aux_params}, step)
+            # full resume checkpoint: loop state at the top of the while loop
+            full = {"astate": astate, "rng": rng, "episode": episode,
+                    "caught_up": caught_up, "next_eval": next_eval,
+                    "next_save": next_save, "next_viz": next_viz}
+            if cfg.checkpoint_replay:
+                full.update(states=states, obs=obs, rstate=rstate)
+            ckpt.save(resume_dir, full, step)
 
     print("Completed training for", work_dir)
     return {"work_dir": work_dir, "episodes": episode,

@@ -80,6 +80,24 @@ class TestReplay:
         batch = buf.sample_raw(state, jax.random.PRNGKey(1), 64)
         assert np.isfinite(np.asarray(batch.reward)).all()
 
+    def test_full_ring_never_samples_write_head(self):
+        """Regression (round-1 VERDICT weak #1): with the ring full, sampled
+        episode indices must never equal ep_ptr — the slot being
+        overwritten — else samples mix fresh and stale frames."""
+        buf = _buffer(num_eps_cap=3)
+        state = buf.init()
+        for ep in range(4):  # fill past capacity → ring full
+            state = _fill_episode(buf, state, ep + 1)
+        # start writing a new (in-progress) episode into the ep_ptr slot
+        state = buf.add_reset(
+            state, jnp.full((2, 9, 16, 16), 200, jnp.uint8))
+        state = buf.add(state, jnp.zeros((2, 2)), jnp.zeros(2),
+                        jnp.full((2, 9, 16, 16), 201, jnp.uint8))
+        assert int(state.num_eps) == 3
+        for seed in range(20):
+            _, ep_i, _ = buf.sample_idx(state, jax.random.PRNGKey(seed), 256)
+            assert not np.any(np.asarray(ep_i) == int(state.ep_ptr))
+
     def test_jit_add_and_sample(self):
         buf = _buffer()
         state = buf.init()

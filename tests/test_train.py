@@ -35,3 +35,54 @@ def test_run_training_end_to_end(tmp_path):
     assert os.path.isdir(model_dir) and len(os.listdir(model_dir)) > 0
     for v in out["final_metrics"].values():
         assert np.isfinite(v)
+
+
+def _tiny_cfg(tmp_path, **kw):
+    base = dict(
+        domain_name="cartpole", task_name="balance", algorithm="sac",
+        train_steps=6, init_steps=2, eval_freq=1000, save_freq=2,
+        episode_length=8, action_repeat=4, eval_episodes=2, num_envs=2,
+        batch_size=4, num_shared_layers=4, num_filters=8, hidden_dim=32,
+        projection_dim=16, log_dir=str(tmp_path), seed=7, eval_mode=None,
+    )
+    base.update(kw)
+    return Config(**base).finalize()
+
+
+def test_resume_identical_metrics(tmp_path):
+    """Kill-and-resume must reproduce the uninterrupted run's metrics
+    bit-for-bit (round-1 VERDICT missing #5: true resume)."""
+    # uninterrupted run: 6 steps (3 episode chunks of 2 wrapper steps)
+    cfg_full = _tiny_cfg(tmp_path / "full", checkpoint_replay=True)
+    out_full = run_training(cfg_full)
+
+    # interrupted run: stop after 4 steps (a resume ckpt lands at step 4),
+    # then continue to 6 in a second invocation of the driver
+    cfg_a = _tiny_cfg(tmp_path / "part", train_steps=4, checkpoint_replay=True)
+    run_training(cfg_a)
+    cfg_b = _tiny_cfg(tmp_path / "part", train_steps=6, checkpoint_replay=True)
+    out_b = run_training(cfg_b)
+    wd = work_dir_for(cfg_b)
+    assert os.path.isdir(os.path.join(wd, "resume"))
+
+    for k, v in out_full["final_metrics"].items():
+        assert np.allclose(v, out_b["final_metrics"][k], rtol=0, atol=0), (
+            k, v, out_b["final_metrics"][k])
+    # the resumed run's train.log must cover the same steps with the same
+    # episode rewards as the uninterrupted one
+    rows_full = {r["step"]: r for l in open(os.path.join(
+        work_dir_for(cfg_full), "train.log")) for r in [json.loads(l)]}
+    rows_b = {r["step"]: r for l in open(os.path.join(wd, "train.log"))
+              for r in [json.loads(l)]}
+    last = max(rows_full)
+    assert rows_full[last]["episode_reward"] == rows_b[last]["episode_reward"]
+
+
+def test_run_training_multichip_mesh(tmp_path):
+    """Driver-level 8-device sharded training (round-1 VERDICT missing #1):
+    run_training with mesh_data_axis=8 over the virtual CPU mesh."""
+    assert len(jax.devices()) >= 8, "conftest should provision 8 CPU devices"
+    cfg = _tiny_cfg(tmp_path, num_envs=8, batch_size=8, mesh_data_axis=8)
+    out = run_training(cfg)
+    for v in out["final_metrics"].values():
+        assert np.isfinite(v)
