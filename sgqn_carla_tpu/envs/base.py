@@ -37,7 +37,8 @@ from sgqn_carla_tpu.physics import engine
 from sgqn_carla_tpu.physics.domains import load as load_task
 from sgqn_carla_tpu.physics.task import PhysState
 from sgqn_carla_tpu.render.cameras import camera_pose, _root_link
-from sgqn_carla_tpu.render.raster import Appearance, default_appearance, render_scene
+from sgqn_carla_tpu.render.fast import render_scene_fast as render_scene
+from sgqn_carla_tpu.render.raster import Appearance, default_appearance
 
 MODES = ("train", "color_easy", "color_hard", "video_easy", "video_hard",
          "distracting_cs")

@@ -194,27 +194,80 @@ def _isect_box(o, d, axes, p0, size):
 
 
 # ------------------------------------------------------------------ shading
-def _checker_color(lx, ly, app: Appearance):
-    """MuJoCo builtin=checker with mark=edge, ~0.5 m squares (texuniform)."""
+def _checker_rgb(lx, ly, rgb1, rgb2, markrgb):
+    """MuJoCo builtin=checker with mark=edge, ~0.5 m squares (texuniform).
+    rgb1/rgb2/markrgb: vec3 tuples (scalars or arrays) — shared by the jnp
+    path (from an Appearance) and the Pallas kernel (from SMEM scalars)."""
     cell = 0.5
     u = lx / cell
     w = ly / cell
     iu = jnp.floor(u)
     iw = jnp.floor(w)
     par = jnp.mod(iu + iw, 2.0) > 0.5
-    base = v3.where(par, v3.unstack(app.grid_rgb2, 0),
-                    v3.unstack(app.grid_rgb1, 0))
+    base = v3.where(par, rgb2, rgb1)
     fu = u - iu
     fw = w - iw
     edge = (fu < 0.06) | (fw < 0.06) | (fu > 0.94) | (fw > 0.94)
-    return v3.where(edge, v3.unstack(app.grid_markrgb, 0), base)
+    return v3.where(edge, markrgb, base)
+
+
+def _checker_color(lx, ly, app: Appearance):
+    return _checker_rgb(lx, ly, v3.unstack(app.grid_rgb1, 0),
+                        v3.unstack(app.grid_rgb2, 0),
+                        v3.unstack(app.grid_markrgb, 0))
+
+
+def _sky_rgb(d, rgb, rgb2):
+    """builtin=gradient skybox: rgb up → rgb2 down (vec3 tuples)."""
+    s = jnp.clip(d[2] * 0.5 + 0.5, 0.0, 1.0)
+    return v3.lerp(rgb2, rgb, s)
 
 
 def _sky_color(d, app: Appearance):
-    """builtin=gradient skybox: rgb1 up → rgb2 down."""
-    s = jnp.clip(d[2] * 0.5 + 0.5, 0.0, 1.0)
-    return v3.lerp(v3.unstack(app.skybox_rgb2, 0),
-                   v3.unstack(app.skybox_rgb, 0), s)
+    return _sky_rgb(d, v3.unstack(app.skybox_rgb, 0),
+                    v3.unstack(app.skybox_rgb2, 0))
+
+
+def _trace_geom(g, o, d, p0, ex, ey, ez, col, plane_color_fn=None):
+    """Closest-hit of rays (o, d) against one static geom `g` posed at
+    (p0; ex/ey/ez basis columns). Returns (t, n, col) — all vec3/array
+    shapes follow d's components. `plane_color_fn(lx, ly, hit)` overrides
+    the color for plane geoms (checker/texture). Shared by the jnp path and
+    the Pallas kernel so both trace identical math."""
+    if g.gtype == PLANE:
+        t, (lx, ly), hit = _isect_plane(o, d, ez, p0, ex, ey, g.size)
+        n = ez
+        if plane_color_fn is not None:
+            col = plane_color_fn(lx, ly, hit)
+    elif g.gtype == SPHERE:
+        t, n = _isect_sphere(o, d, p0, float(g.size[0]))
+    elif g.gtype in (CAPSULE, CYLINDER):
+        hl = float(g.size[1])
+        pa = v3.sub(p0, v3.scale(ez, hl))
+        ba = v3.scale(ez, 2 * hl)
+        t, n = _isect_capsule(o, d, pa, ba, (2 * hl) ** 2, float(g.size[0]))
+    elif g.gtype == BOX:
+        t, n = _isect_box(o, d, (ex, ey, ez), p0, g.size)
+    elif g.gtype == ELLIPSOID:
+        # scale space so the ellipsoid is a unit sphere
+        s = np.asarray(g.size) + 1e-9
+        rel = v3.sub(o, p0)
+        o_s = (v3.dot(rel, ex) / s[0], v3.dot(rel, ey) / s[1],
+               v3.dot(rel, ez) / s[2])
+        d_s = (v3.dot(d, ex) / s[0], v3.dot(d, ey) / s[1],
+               v3.dot(d, ez) / s[2])
+        d_su, nrm = v3.normalize(d_s)
+        zero3 = (jnp.float32(0),) * 3
+        t, n_s = _isect_sphere(o_s, d_su, zero3, 1.0)
+        t = t / nrm
+        # local normal components / size, back to world
+        nx, ny, nz = n_s[0] / s[0], n_s[1] / s[1], n_s[2] / s[2]
+        n = v3.add(v3.add(v3.scale(ex, nx), v3.scale(ey, ny)),
+                   v3.scale(ez, nz))
+        n, _ = v3.normalize(n)
+    else:
+        return None
+    return t, n, col
 
 
 def render_scene(
@@ -268,41 +321,16 @@ def render_scene(
         ez = (Ri[0, 2], Ri[1, 2], Ri[2, 2])
         base = app.geom_rgba[i]
         col = (base[0], base[1], base[2])
-        if g.gtype == PLANE:
-            t, (lx, ly), hit = _isect_plane(o, d, ez, p0, ex, ey, g.size)
-            n = ez
-            if material_color_fns and g.material in material_color_fns:
-                col = material_color_fns[g.material](lx, ly, hit)
-            elif g.material == "grid":
-                col = _checker_color(lx, ly, app)
-        elif g.gtype == SPHERE:
-            t, n = _isect_sphere(o, d, p0, float(g.size[0]))
-        elif g.gtype in (CAPSULE, CYLINDER):
-            hl = float(g.size[1])
-            pa = v3.sub(p0, v3.scale(ez, hl))
-            ba = v3.scale(ez, 2 * hl)
-            t, n = _isect_capsule(o, d, pa, ba, (2 * hl) ** 2, float(g.size[0]))
-        elif g.gtype == BOX:
-            t, n = _isect_box(o, d, (ex, ey, ez), p0, g.size)
-        elif g.gtype == ELLIPSOID:
-            # scale space so the ellipsoid is a unit sphere
-            s = np.asarray(g.size) + 1e-9
-            rel = v3.sub(o, p0)
-            o_s = (v3.dot(rel, ex) / s[0], v3.dot(rel, ey) / s[1],
-                   v3.dot(rel, ez) / s[2])
-            d_s = (v3.dot(d, ex) / s[0], v3.dot(d, ey) / s[1],
-                   v3.dot(d, ez) / s[2])
-            d_su, nrm = v3.normalize(d_s)
-            zero3 = (jnp.float32(0),) * 3
-            t, n_s = _isect_sphere(o_s, d_su, zero3, 1.0)
-            t = t / nrm
-            # local normal components / size, back to world
-            nx, ny, nz = n_s[0] / s[0], n_s[1] / s[1], n_s[2] / s[2]
-            n = v3.add(v3.add(v3.scale(ex, nx), v3.scale(ey, ny)),
-                       v3.scale(ez, nz))
-            n, _ = v3.normalize(n)
+        if g.gtype == PLANE and material_color_fns and g.material in material_color_fns:
+            plane_fn = material_color_fns[g.material]
+        elif g.gtype == PLANE and g.material == "grid":
+            plane_fn = lambda lx, ly, hit: _checker_color(lx, ly, app)
         else:
+            plane_fn = None
+        traced = _trace_geom(g, o, d, p0, ex, ey, ez, col, plane_fn)
+        if traced is None:
             continue
+        t, n, col = traced
         closer = t < t_min
         t_min = jnp.where(closer, t, t_min)
         n_min = v3.where(closer, n if isinstance(n, tuple) else n, n_min)
