@@ -45,7 +45,10 @@ def _ensure_imported():
         cheetah,
         extra,
         finger,
+        fish,
+        lqr,
         reacher,
+        swimmer,
         walker,
     )
     _IMPORTED = True

@@ -195,10 +195,28 @@ def _spi_apply(I, sv):
     return (n, fl)
 
 
+# beyond this many links the unrolled scalar Cholesky's ~n³/3 ops explode
+# XLA compile time (swimmer15 alone takes >10 min on CPU); dense
+# cho_solve compiles in seconds and batches well under vmap
+_DENSE_SOLVE_NL = 12
+
+
 def _solve_spd(M, b, n: int):
-    """Unrolled Cholesky solve for the nv×nv SPD mass matrix. M is a nested
-    list of scalars, b a list; under vmap each scalar is a (B,) array —
-    ~n³/3 fused elementwise ops, no lax.linalg loops."""
+    """SPD mass-matrix solve. M is a nested list of scalars, b a list; under
+    vmap each scalar is a (B,) array.
+
+    Small models: unrolled Cholesky — ~n³/3 fused elementwise ops, no
+    lax.linalg loops (fastest on TPU). Large models (nl ≥ _DENSE_SOLVE_NL):
+    stack into a dense (n, n) matrix and use jax.scipy cho_solve — one
+    fused linalg op, tractable compile."""
+    if n >= _DENSE_SOLVE_NL:
+        from jax.scipy.linalg import cho_factor, cho_solve
+
+        Md = jnp.stack([jnp.stack(row, -1) for row in M], -2)
+        bd = jnp.stack(b, -1)
+        Md = Md + 1e-10 * jnp.eye(n, dtype=Md.dtype)
+        x = cho_solve(cho_factor(Md, lower=True), bd[..., None])[..., 0]
+        return [x[..., i] for i in range(n)]
     L = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
@@ -508,6 +526,56 @@ def tendon_taus(model: Model, kin: Kin, anc: np.ndarray, tau):
     return tau
 
 
+def fluid_taus(model: Model, kin: Kin, anc: np.ndarray, tau):
+    """Fluid drag from a dense/viscous medium — MuJoCo's inertia-box model
+    (mj_inertiaBoxFluidModel in engine_passive.c; MJX fluid.py mirrors it).
+    This is what makes the swimmer/fish domains swim: contact is disabled
+    and all locomotion forces come from quadratic drag against the medium
+    (reference: suite/swimmer.xml `<option density="3000">`, fish.xml idem).
+
+    Per link with mass: build the equivalent inertia box (half-sizes from
+    the principal inertia), express the CoM 6D velocity in the link frame,
+    apply per-axis quadratic drag (density) and Stokes-like linear drag
+    (viscosity), rotate the wrench back to world and project through the
+    joint subspaces of the link's support path."""
+    rho = float(model.density)
+    visc = float(model.viscosity)
+    qs, ps, Ss, vs, coms = kin.soa
+    for i in range(model.nl):
+        m = float(model.link_mass[i])
+        if m <= 1e-9:
+            continue
+        Idiag = np.diag(np.asarray(model.link_inertia[i], np.float64))
+        box = np.sqrt(np.maximum(
+            1e-12, (Idiag.sum() - 2.0 * Idiag) * 6.0 / m)) / 2.0  # half-sizes
+        # local-frame CoM velocity
+        w_w = vs[i][0]
+        v_w = v3.add(vs[i][1], v3.cross(w_w, coms[i]))
+        w_l = v3.qrot_inv(qs[i], w_w)
+        v_l = v3.qrot_inv(qs[i], v_w)
+        frc = [jnp.float32(0.0)] * 3
+        trq = [jnp.float32(0.0)] * 3
+        if visc > 0:
+            diam = float(box.mean()) * 2.0
+            for j in range(3):
+                trq[j] = trq[j] - np.pi * diam ** 3 * visc * w_l[j]
+                frc[j] = frc[j] - 3.0 * np.pi * diam * visc * v_l[j]
+        if rho > 0:
+            for j in range(3):
+                b1, b2 = box[(j + 1) % 3], box[(j + 2) % 3]
+                frc[j] = frc[j] - 0.5 * rho * b1 * b2 * jnp.abs(v_l[j]) * v_l[j]
+                trq[j] = trq[j] - rho * box[j] * (b1 ** 4 + b2 ** 4) * (
+                    jnp.abs(w_l[j]) * w_l[j]) / 64.0
+        f_w = v3.qrot(qs[i], tuple(frc))
+        t_w = v3.qrot(qs[i], tuple(trq))
+        # project the wrench (force at CoM + torque) through the chain
+        fx = v3.add(v3.cross(coms[i], f_w), t_w)
+        for j in range(model.nl):
+            if anc[i, j]:
+                tau[j] = tau[j] + v3.dot(Ss[j][0], fx) + v3.dot(Ss[j][1], f_w)
+    return tau
+
+
 def limit_taus(model: Model, qpos, qvel):
     """One-sided penalty springs at joint limits."""
     lo = jnp.asarray(model.jnt_range[:, 0], qpos.dtype)
@@ -527,12 +595,29 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
     kin = forward_kinematics(model, qpos, qvel)
     M = _mass_matrix_soa(model, kin)
     C = _bias_forces_soa(model, kin, qvel)
-    # joint-space applied torques (small (nv,) arrays; one op each)
+    # joint-space applied torques (small (nv,) arrays; one op each).
+    # Generalized transmission: τ = Mᵀ·f with M the (nu, nv) moment matrix;
+    # motors produce f = ctrl (gear folded into M), position servos
+    # f = kp·(ctrl − L) with transmission length L = M·q (MuJoCo <position>
+    # actuators and fixed tendons — reference: fish.xml actuator block).
     tau_vec = jnp.zeros(model.nl, jnp.float32)
     if model.nu:
         c_clip = jnp.clip(ctrl.astype(jnp.float32), -1.0, 1.0)
-        tau_vec = tau_vec.at[jnp.asarray(model.act_dof)].add(
-            jnp.asarray(model.act_gear, jnp.float32) * c_clip)
+        moment = jnp.asarray(model.act_moment, jnp.float32)
+        if np.any(np.asarray(model.act_kind) == 1):
+            L = moment @ qpos
+            gain = jnp.asarray(model.act_gain, jnp.float32)
+            kind = jnp.asarray(model.act_kind)
+            force = jnp.where(kind == 1, gain * (c_clip - L), c_clip)
+        else:
+            force = c_clip
+        tau_vec = moment.T @ force
+    if model.ft_moment is not None and len(model.ft_stiff):
+        # passive fixed-tendon springs (reference: fish.xml tendon fins_sym)
+        ftm = jnp.asarray(model.ft_moment, jnp.float32)
+        Lt = ftm @ qpos
+        tau_vec = tau_vec - ftm.T @ (
+            jnp.asarray(model.ft_stiff, jnp.float32) * Lt)
     tau_vec = tau_vec - jnp.asarray(model.jnt_damping, jnp.float32) * qvel
     tau_vec = tau_vec - jnp.asarray(model.jnt_stiffness, jnp.float32) * (
         qpos - jnp.asarray(model.jnt_springref, jnp.float32))
@@ -544,6 +629,8 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
     tau = [tau_vec[i] for i in range(model.nl)]
     if model.tendons:
         tau = tendon_taus(model, kin, anc, tau)
+    if model.density > 0 or model.viscosity > 0:
+        tau = fluid_taus(model, kin, anc, tau)
     if len(model.contact_pairs):
         gw = _geom_world_soa(model, kin)
         tau_c, pair_f = contact_taus(model, kin, gw, anc)

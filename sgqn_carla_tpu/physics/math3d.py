@@ -148,3 +148,20 @@ def spatial_inertia(mass, com, inertia_com):
     top = jnp.concatenate([top_left, top_right], axis=-1)
     bot = jnp.concatenate([bot_left, bot_right], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+def quat_to_euler_xyz(q):
+    """Intrinsic x-y-z Euler angles (a, b, c) with R = Rx(a)·Ry(b)·Rz(c).
+
+    This is the chart used by the builder's `add_free_root` hinge triplet:
+    converting a sampled random quaternion into root hinge angles
+    reproduces the same world orientation (fish/quadruped/humanoid episode
+    initializers set the root quaternion directly; reference:
+    suite/fish.py:141-143, suite/quadruped.py:121-131)."""
+    import jax.numpy as jnp
+
+    R = quat_to_mat(q)
+    b = jnp.arcsin(jnp.clip(R[0, 2], -1.0, 1.0))
+    c = jnp.arctan2(-R[0, 1], R[0, 0])
+    a = jnp.arctan2(-R[1, 2], R[2, 2])
+    return jnp.stack([a, b, c])

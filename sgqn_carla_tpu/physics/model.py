@@ -210,10 +210,15 @@ class ModelBuilder:
     """Author a model the MJCF way, but in python (no XML on the hot path)."""
 
     def __init__(self, timestep=0.0025, gravity=(0, 0, -9.81), integrator="euler",
-                 settotalmass: Optional[float] = None):
+                 settotalmass: Optional[float] = None,
+                 density: float = 0.0, viscosity: float = 0.0):
         self.timestep = timestep
         self.gravity = np.asarray(gravity, np.float64)
         self.integrator = integrator
+        # fluid medium (MuJoCo <option density= viscosity=>) — drives the
+        # swimmer/fish domains (reference: suite/swimmer.xml option density=3000)
+        self.density = density
+        self.viscosity = viscosity
         self.settotalmass = settotalmass  # MuJoCo <compiler settotalmass>
         self.bodies: List[_BodySpec] = [
             _BodySpec(-1, np.zeros(3), np.array([1.0, 0, 0, 0]), [], [], "world")
@@ -221,6 +226,12 @@ class ModelBuilder:
         self.cameras: List[CameraSpec] = []
         self.actuator_joint: List[str] = []
         self.actuator_gear: List[float] = []
+        # generalized transmissions: (joints=[(name, coef)...], kind, gain)
+        # kind: "motor" (force = ctrl) or "position" (force = kp·(ctrl − L),
+        # L = Σ coef·q — MuJoCo position servo / fixed-tendon transmission)
+        self.gen_actuators: List = []
+        self.fixed_tendons: List = []  # (joints=[(name, coef)...], stiffness)
+        self._free_root_prefixes: List[str] = []
         self.tendons: List[TendonSpec] = []
         self._tendon_bodies: List[Tuple] = []
         self.contact_solref = (0.02, 1.0)
@@ -311,6 +322,39 @@ class ModelBuilder:
         self.actuator_joint.append(joint_name)
         self.actuator_gear.append(gear)
 
+    def add_free_root(self, body: int, armature: float = 1e-6,
+                      prefix: str = "root"):
+        """Free 6-DoF root joint as 3 slides (x, y, z) + 3 hinges
+        (intrinsic x-y-z) at the body origin.
+
+        Deliberate divergence from MuJoCo's quaternion free joint
+        (qpos 7 / qvel 6): the engine's links are single-DoF, so the
+        rotational part is an Euler-angle chart — exact dynamics away from
+        the ±90° middle-hinge gimbal singularity, regularized there by a
+        tiny hinge armature. Root state is qpos[0:3] position +
+        qpos[3:6] = `math3d.quat_to_euler_xyz` angles."""
+        self._free_root_prefixes.append(prefix)
+        self.add_joint(body, SLIDE, axis=(1, 0, 0), name=f"{prefix}_x")
+        self.add_joint(body, SLIDE, axis=(0, 1, 0), name=f"{prefix}_y")
+        self.add_joint(body, SLIDE, axis=(0, 0, 1), name=f"{prefix}_z")
+        self.add_joint(body, HINGE, axis=(1, 0, 0), armature=armature,
+                       name=f"{prefix}_rx")
+        self.add_joint(body, HINGE, axis=(0, 1, 0), armature=armature,
+                       name=f"{prefix}_ry")
+        self.add_joint(body, HINGE, axis=(0, 0, 1), armature=armature,
+                       name=f"{prefix}_rz")
+
+    def add_position_actuator(self, joints, kp: float):
+        """MuJoCo <position> servo: force = kp·(ctrl − L), L = Σ coef·q.
+        `joints`: [(joint_name, coef), ...] — a single joint or a fixed
+        tendon (reference: fish.xml actuators tail/fins_flap)."""
+        self.gen_actuators.append((list(joints), "position", float(kp)))
+
+    def add_fixed_tendon_spring(self, joints, stiffness: float):
+        """Passive fixed tendon: τ −= k·L·coef on each joint, with
+        L = Σ coef·q (reference: fish.xml tendon fins_sym)."""
+        self.fixed_tendons.append((list(joints), float(stiffness)))
+
     # -- compilation ---------------------------------------------------------
     def finalize(self) -> "Model":
         """Expand multi-joint bodies into single-DoF link chains and pack."""
@@ -396,6 +440,28 @@ class ModelBuilder:
 
         # actuators
         act_dof = [joint_names.index(n) for n in self.actuator_joint]
+        nu_total = len(act_dof) + len(self.gen_actuators)
+        act_moment = np.zeros((nu_total, nl))
+        act_kind = np.zeros(nu_total, np.int32)          # 0=motor 1=position
+        act_gain = np.ones(nu_total)
+        for a, (dof, gear) in enumerate(zip(act_dof, self.actuator_gear)):
+            act_moment[a, dof] = gear
+        for a, (joints, kind, gain) in enumerate(self.gen_actuators):
+            row = a + len(act_dof)
+            for jname, coef in joints:
+                act_moment[row, joint_names.index(jname)] = coef
+            act_kind[row] = 1 if kind == "position" else 0
+            act_gain[row] = gain
+        free_roots = [0] * 0
+        free_roots = []
+        ft_moment = np.zeros((len(self.fixed_tendons), nl))
+        ft_stiff = np.zeros(len(self.fixed_tendons))
+        for r, (joints, k) in enumerate(self.fixed_tendons):
+            for jname, coef in joints:
+                ft_moment[r, joint_names.index(jname)] = coef
+            ft_stiff[r] = k
+        for pref in self._free_root_prefixes:
+            free_roots.append(joint_names.index(f"{pref}_x"))
 
         # contact pairs: (i, j) if contype/conaffinity match, different links,
         # and not a parent-child link pair (MuJoCo default exclusion)
@@ -452,7 +518,7 @@ class ModelBuilder:
             )
         model = Model(
             nl=nl,
-            nu=len(act_dof),
+            nu=nu_total,
             timestep=self.timestep,
             integrator=self.integrator,
             gravity=self.gravity,
@@ -476,12 +542,20 @@ class ModelBuilder:
             link_inertia=np.asarray(link_inertia, np.float64).reshape(nl, 3, 3),
             act_dof=np.asarray(act_dof, np.int32),
             act_gear=np.asarray(self.actuator_gear, np.float64),
+            act_moment=act_moment,
+            act_kind=act_kind,
+            act_gain=act_gain,
+            ft_moment=ft_moment,
+            ft_stiff=ft_stiff,
+            free_roots=tuple(free_roots),
             geoms=geoms,
             contact_pairs=np.asarray(pairs, np.int32).reshape(-1, 2),
             cameras=cameras,
             joint_names=joint_names,
             body_names=[b.name for b in self.bodies],
             com0=com0,
+            density=self.density,
+            viscosity=self.viscosity,
         )
         return model
 
@@ -543,6 +617,14 @@ class Model:
     body_names: List[str]
     com0: np.ndarray = field(default_factory=lambda: np.zeros(3))
     # contact penalty parameters (spring-damper; see engine.contact_forces)
+    act_moment: np.ndarray = None   # (nu, nv) transmission moments
+    act_kind: np.ndarray = None     # (nu,) 0=motor 1=position
+    act_gain: np.ndarray = None     # (nu,) kp for position actuators
+    ft_moment: np.ndarray = None    # (n_fixed_tendons, nv) passive couplings
+    ft_stiff: np.ndarray = None     # (n_fixed_tendons,)
+    free_roots: tuple = ()          # start dof of each 6-dof slide+hinge root
+    density: float = 0.0      # fluid medium density (swimmer/fish)
+    viscosity: float = 0.0    # fluid medium viscosity
     contact_stiffness: float = 2e4
     contact_damping: float = 200.0
     limit_stiffness: float = 300.0

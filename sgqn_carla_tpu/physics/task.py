@@ -85,7 +85,21 @@ def randomize_limited_and_rotational_joints(model: Model, rng, base_qpos=None):
     qpos = (jnp.zeros(model.nv, jnp.float32) if base_qpos is None
             else jnp.asarray(base_qpos, jnp.float32))
     keys = jax.random.split(rng, model.nv)
+    # 6-dof slide+hinge free roots: orientation uniform on SO(3) via a random
+    # unit quaternion → Euler chart (matches the reference's free-joint rule,
+    # randomizers.py:45-46: "Quaternions for unlimited free joints ... sampled
+    # uniformly"); linear dofs untouched (rule :49)
+    free_dofs = set()
+    for start in model.free_roots:
+        from sgqn_carla_tpu.physics.math3d import quat_to_euler_xyz
+
+        free_dofs.update(range(start, start + 6))
+        q = jax.random.normal(keys[start], (4,), jnp.float32)
+        q = q / jnp.linalg.norm(q)
+        qpos = qpos.at[start + 3:start + 6].set(quat_to_euler_xyz(q))
     for i in range(model.nv):
+        if i in free_dofs:
+            continue
         limited = bool(model.jnt_limited[i])
         jtype = int(model.jnt_type[i])
         lo, hi = float(model.jnt_range[i, 0]), float(model.jnt_range[i, 1])

