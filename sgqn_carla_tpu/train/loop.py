@@ -273,12 +273,31 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             from sgqn_carla_tpu.agents.visualize import save_attribution_images
             from sgqn_carla_tpu.ops import augment
 
-            rng, k_v, k_c = jax.random.split(rng, 3)
+            rng, k_v, k_c, k_o, k_a = jax.random.split(rng, 5)
             batch = buffer.sample_raw(rstate, k_v, 4)
             vb_obs = augment.random_crop(k_c, batch.obs, cfg.image_crop_size)
+            out_dir = os.path.join(work_dir, "output")
             save_attribution_images(
                 agent, astate, np.asarray(vb_obs), np.asarray(batch.action),
-                os.path.join(work_dir, "output"), step)
+                out_dir, step)
+            # the reference also dumps the two augmented views: s̃ (overlay)
+            # and s′ (attribution_augmentation) — sgsac.py:99-102
+            from sgqn_carla_tpu.ops.guided_backprop import (
+                compute_attribution_mask)
+            obs_f = jnp.asarray(vb_obs, jnp.float32)
+            act_f = jnp.asarray(batch.action, jnp.float32)
+            grad = agent.attribution_grad(astate.params, obs_f, act_f)
+            mask = compute_attribution_mask(grad, agent.quantile)
+            s_tilde = augment.random_overlay(k_o, obs_f, agent.overlay_pool,
+                                             cfg.alpha_blending)
+            s_prime = augment.attribution_augmentation(
+                k_a, obs_f, mask, agent.overlay_pool)
+            save_attribution_images(
+                agent, astate, np.asarray(s_tilde), np.asarray(batch.action),
+                out_dir, step, prefix="augmented")
+            save_attribution_images(
+                agent, astate, np.asarray(s_prime), np.asarray(batch.action),
+                out_dir, step, prefix="super_augmented")
 
         # ---- periodic checkpoint (reference: train.py:206-219)
         if step >= next_save:

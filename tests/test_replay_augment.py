@@ -161,6 +161,52 @@ class TestAugment:
         a = np.asarray(out)
         assert a.min() >= 0 and a.max() <= 255
 
+    def test_random_affine_pairs_with_mask(self):
+        """The same sampled warp applies to image and mask (paired_aug
+        invariant, reference: augmentations.py:138)."""
+        imgs = jnp.zeros((3, 3, 84, 84), jnp.float32).at[:, :, 30:54,
+                                                         30:54].set(255.0)
+        out, inv = augment.random_affine(jax.random.PRNGKey(4), imgs)
+        replay = augment.affine_apply(imgs, inv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(replay))
+        a = np.asarray(out)
+        assert a.shape == (3, 3, 84, 84)
+        assert not np.allclose(a, np.asarray(imgs))  # actually warped
+
+    def test_random_erasing(self):
+        imgs = jnp.full((8, 3, 84, 84), 100.0, jnp.float32)
+        out, keep = augment.random_erasing(jax.random.PRNGKey(1), imgs, p=1.0)
+        a = np.asarray(out)
+        k = np.asarray(keep)
+        assert ((a == 0) == (k == 0)).all()
+        assert (a == 0).any() and (a == 100).any()
+
+    def test_paired_aug(self):
+        pool = jnp.asarray(get_overlay_pool(84, 84, seed=0, num=8))
+        obs = jnp.full((4, 9, 84, 84), 180, jnp.uint8)
+        mask = jnp.zeros((4, 9, 84, 84), jnp.float32).at[:, :, :42].set(1.0)
+        img_out, mask_out = augment.paired_aug(jax.random.PRNGKey(2), obs,
+                                               mask, pool)
+        assert img_out.shape == obs.shape and mask_out.shape == mask.shape
+        a = np.asarray(img_out)
+        assert a.min() >= 0 and a.max() <= 255
+        m = np.asarray(mask_out)
+        assert m.min() >= 0.0 and m.max() <= 1.0 + 1e-6
+
+    def test_attribution_random_patch_augmentation(self):
+        pool = jnp.asarray(get_overlay_pool(84, 84, seed=0, num=8))
+        x = jnp.full((4, 9, 84, 84), 200.0, jnp.float32)
+        # graded saliency: cell (3,3) strictly hottest, distinct cell values
+        ramp = jnp.arange(16, dtype=jnp.float32).reshape(4, 4)
+        cam = jnp.repeat(jnp.repeat(ramp, 21, 0), 21, 1)[None].repeat(4, 0)
+        out = augment.attribution_random_patch_augmentation(
+            jax.random.PRNGKey(3), x, cam, pool, patch_proba=1.0)
+        a = np.asarray(out)
+        # the hottest cell survives the 0.9-quantile cut and proba-1 keep
+        assert (a[:, :, 63:, 63:] == 200.0).all()
+        # the coldest cell is below the quantile → dataset fill shows through
+        assert (a[:, :, :21, :21] != 200.0).any()
+
     def test_prepare_pad_batch(self):
         obs = jnp.zeros((9, 100, 100), jnp.uint8)
         nxt = jnp.zeros((9, 100, 100), jnp.uint8)
