@@ -36,8 +36,14 @@ def make_agent(obs_shape: Tuple[int, ...], action_shape: Tuple[int, ...],
         raise ValueError(f"unknown algorithm {cfg.algorithm!r}; "
                          f"available: {sorted(ALGORITHMS)}")
     if overlay_pool is None and cfg.algorithm in _NEEDS_OVERLAY:
+        import os
+
+        from sgqn_carla_tpu.core.config import resolve_data_dir
+
+        data_dir = resolve_data_dir(cfg)
+        ext = os.path.join(data_dir, "overlay") if data_dir else ""
         overlay_pool = jnp.asarray(
             get_overlay_pool(cfg.image_crop_size, cfg.image_crop_size,
-                             seed=cfg.seed))
+                             seed=cfg.seed, external_dir=ext))
     return ALGORITHMS[cfg.algorithm](obs_shape, action_shape, cfg,
                                      overlay_pool=overlay_pool)

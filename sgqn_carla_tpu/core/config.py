@@ -129,6 +129,14 @@ class Config:
     seed: int = 10081
     log_dir: str = "logs"
     save_video: bool = False
+    # real-dataset root (the reference's setup/config.cfg role,
+    # utils.load_config at src/utils.py:60-66): a directory with subdirs
+    #   overlay/      *.npy (3,H,W) or (H,W,3) images  → Places365 role
+    #   video_easy/   *.npy (F,H,W,3) uint8 clips      → DMCGB easy videos
+    #   video_hard/   *.npy clips                      → DMCGB hard / DAVIS
+    # Empty → procedural pools; "auto" → first existing path listed in
+    # setup/config.cfg's "datasets".
+    external_data_dir: str = ""
 
     # ---- TPU-native additions (no reference equivalent) ----
     num_envs: int = 1            # vectorized env batch per experiment
@@ -187,6 +195,35 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+
+def load_data_config(key=None, path=None):
+    """Read the JSON dataset-path config (reference: setup/config.cfg via
+    utils.load_config, src/utils.py:60-66). Returns {} / [] when absent."""
+    import json
+    import os
+
+    path = path or os.path.join("setup", "config.cfg")
+    if not os.path.exists(path):
+        return [] if key else {}
+    with open(path) as f:
+        data = json.load(f)
+    if key is not None:
+        return data.get(key, [])
+    return data
+
+
+def resolve_data_dir(cfg: "Config") -> str:
+    """Resolve `external_data_dir`: verbatim path, or "auto" → the first
+    existing directory listed under "datasets" in setup/config.cfg."""
+    import os
+
+    if cfg.external_data_dir != "auto":
+        return cfg.external_data_dir
+    for d in load_data_config("datasets"):
+        if os.path.isdir(d):
+            return d
+    return ""
 
 
 _INT_K_FIELDS = {"train_steps", "save_freq", "eval_freq"}

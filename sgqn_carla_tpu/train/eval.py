@@ -15,7 +15,7 @@ import numpy as np
 
 from sgqn_carla_tpu.agents import make_agent
 from sgqn_carla_tpu.core import checkpoint as ckpt
-from sgqn_carla_tpu.core.config import parse_args
+from sgqn_carla_tpu.core.config import parse_args, resolve_data_dir
 from sgqn_carla_tpu.envs import make_env
 from sgqn_carla_tpu.train.loop import evaluate, work_dir_for
 from sgqn_carla_tpu.train.video import VideoRecorder
@@ -31,7 +31,8 @@ def main(argv=None):
         seed=cfg.seed + 42, episode_length=cfg.episode_length,
         action_repeat=cfg.action_repeat, frame_stack=cfg.frame_stack,
         image_size=cfg.image_size, mode=cfg.eval_mode or "train",
-        intensity=cfg.distracting_cs_intensity)
+        intensity=cfg.distracting_cs_intensity,
+        external_data_dir=resolve_data_dir(cfg))
 
     agent = make_agent((3 * cfg.frame_stack, cfg.image_crop_size,
                         cfg.image_crop_size), (env.action_size,), cfg)

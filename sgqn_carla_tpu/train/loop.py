@@ -97,10 +97,14 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                           width=cfg.eval_render_size,
                           enabled=cfg.save_video)
 
+    from sgqn_carla_tpu.core.config import resolve_data_dir
+    data_dir = resolve_data_dir(cfg)
+
     env = env_factory(
         domain_name=cfg.domain_name, task_name=cfg.task_name, seed=cfg.seed,
         episode_length=cfg.episode_length, action_repeat=cfg.action_repeat,
-        frame_stack=cfg.frame_stack, image_size=cfg.image_size, mode="train")
+        frame_stack=cfg.frame_stack, image_size=cfg.image_size, mode="train",
+        external_data_dir=data_dir)
     test_envs: List = []
     test_modes: List[str] = []
     eval_modes = (["color_hard", "video_easy", "video_hard"]
@@ -112,7 +116,9 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             domain_name=cfg.domain_name, task_name=cfg.task_name,
             seed=cfg.seed + 42, episode_length=cfg.episode_length,
             action_repeat=cfg.action_repeat, frame_stack=cfg.frame_stack,
-            image_size=cfg.image_size, mode=m, intensity=cfg.distracting_cs_intensity))
+            image_size=cfg.image_size, mode=m,
+            intensity=cfg.distracting_cs_intensity,
+            external_data_dir=data_dir))
         test_modes.append(m)
 
     venv = VectorEnv(env, cfg.num_envs)
