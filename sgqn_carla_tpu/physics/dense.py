@@ -1,0 +1,517 @@
+"""Dense (array/matmul) dynamics path for large kinematic trees.
+
+The scalar structure-of-arrays path in `engine.py` unrolls CRBA/RNEA into
+per-link-pair scalar ops — unbeatable for the ≤10-link DMCGB models, but its
+graph size grows O(nl²)–O(nl³) and XLA compile time explodes beyond ~12
+links (swimmer15 = 17, humanoid = 27, humanoid_CMU = 62). This module is
+the same physics expressed as fixed-shape batched linear algebra:
+
+  * per-link 6×6 world-origin spatial inertias, (nl, 6, 6);
+  * CRBA as a masked Gram product: composite inertias via one
+    ancestor-mask einsum, M = mask ⊙ (IcS)Sᵀ, symmetrized;
+  * RNEA (qacc = 0) as two mask matmuls over (nl, 6) velocity-product and
+    force arrays;
+  * point forces (contacts/tendons/fluid) accumulate world-origin wrenches
+    into one (nl, 6) array, projected through all support paths with a
+    single maskᵀ matmul — O(1) ops per contact instead of O(path length);
+  * the SPD solve is jax.scipy `cho_solve` on the dense (nv, nv) matrix.
+
+Compile is seconds at any nl; the einsums land on the MXU. Everything is
+`vmap`-able over the environment batch exactly like the scalar path.
+Selected automatically by `engine.step` when `nl ≥ DENSE_NL` (same physics,
+verified against the scalar path in tests/test_physics_dense.py).
+
+Reference semantics mirrored: mj_step's Euler split (reference:
+src/env/dm_control/dm_control/mujoco/engine.py:148-165); the algorithms are
+Featherstone's CRBA/RNEA in world-aligned Plücker coordinates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgqn_carla_tpu.physics.model import Model
+
+# beyond this many links the unrolled scalar path's compile time explodes;
+# the dense path takes over (engine.step dispatch)
+DENSE_NL = 12
+
+_f = jnp.float32
+
+
+def _skew(h):
+    """(..., 3) → (..., 3, 3) cross-product matrices."""
+    z = jnp.zeros_like(h[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -h[..., 2], h[..., 1]], -1),
+        jnp.stack([h[..., 2], z, -h[..., 0]], -1),
+        jnp.stack([-h[..., 1], h[..., 0], z], -1),
+    ], -2)
+
+
+def crm(v, m):
+    """Spatial motion cross product v × m, both (..., 6) = (angular, linear)."""
+    w, u = v[..., :3], v[..., 3:]
+    mw, mv = m[..., :3], m[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, mw), jnp.cross(w, mv) + jnp.cross(u, mw)], -1)
+
+
+def crf(v, f):
+    """Spatial force cross product v ×* f."""
+    w, u = v[..., :3], v[..., 3:]
+    fn, ff = f[..., :3], f[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, fn) + jnp.cross(u, ff), jnp.cross(w, ff)], -1)
+
+
+# --------------------------------------------------------------- scan FK
+def _qmul(a, b):
+    """Quaternion product on (..., 4) arrays (w, x, y, z)."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], -1)
+
+
+def _qrot(q, v):
+    """Rotate (..., 3) vectors by (..., 4) quaternions."""
+    u = q[..., 1:]
+    w = q[..., 0:1]
+    t = 2.0 * jnp.cross(u, v)
+    return v + w * t + jnp.cross(u, t)
+
+
+def forward_kinematics_scan(model: Model, qpos, qvel):
+    """lax.scan FK over topologically-ordered links.
+
+    The unrolled scalar FK in `engine.forward_kinematics` chains quaternion
+    expressions link-by-link; XLA's simplification passes blow up on deep
+    chains (swimmer15's 17-deep chain alone took ~140 s to compile, growing
+    ~3× per +3 links). Here the per-link recurrence is ONE compiled scan
+    body reading the parent's row from (nl+1)-row buffers (last row = the
+    world's identity frame) and scattering its own — compile time is flat
+    in nl, and under vmap each step still runs (B,)-wide lanes."""
+    from sgqn_carla_tpu.physics import engine as eng
+    from sgqn_carla_tpu.physics.math3d import quat_to_mat
+    from sgqn_carla_tpu.physics.model import HINGE
+
+    nl = model.nl
+    f = jnp.float32
+    theta = qpos.astype(f) - jnp.asarray(model.jnt_ref, f)
+    qd = qvel.astype(f)
+    parent = np.asarray(model.link_parent, np.int32)
+    pidx = np.where(parent < 0, nl, parent).astype(np.int32)
+    xs = dict(
+        i=jnp.arange(nl, dtype=jnp.int32),
+        pidx=jnp.asarray(pidx),
+        body_pos=jnp.asarray(model.link_pos, f),
+        body_quat=jnp.asarray(model.link_quat, f),
+        axis=jnp.asarray(model.jnt_axis, f),
+        jpos=jnp.asarray(model.jnt_pos, f),
+        com_l=jnp.asarray(model.link_com, f),
+        is_hinge=jnp.asarray(np.asarray(model.jnt_type) == HINGE),
+        theta=theta,
+        qd=qd,
+    )
+    Q0 = jnp.zeros((nl + 1, 4), f).at[nl, 0].set(1.0)
+    P0 = jnp.zeros((nl + 1, 3), f)
+    V0 = jnp.zeros((nl + 1, 6), f)
+    S0 = jnp.zeros((nl + 1, 6), f)
+    C0 = jnp.zeros((nl + 1, 3), f)
+    A0 = jnp.zeros((nl + 1, 3), f)
+    N0 = jnp.zeros((nl + 1, 3), f)
+
+    def body(carry, x):
+        Q, P, V, S, C, Aa, Nn = carry
+        qp, pp, vp = Q[x["pidx"]], P[x["pidx"]], V[x["pidx"]]
+        q0 = _qmul(qp, x["body_quat"])
+        p0 = pp + _qrot(qp, x["body_pos"])
+        n = _qrot(q0, x["axis"])
+        a = p0 + _qrot(q0, x["jpos"])
+        half = 0.5 * x["theta"]
+        qr = jnp.concatenate([jnp.cos(half)[None],
+                              jnp.sin(half) * n])
+        q_h = _qmul(qr, q0)
+        p_h = a + _qrot(qr, p0 - a)
+        S_h = jnp.concatenate([n, jnp.cross(a, n)])
+        q_s = q0
+        p_s = p0 + n * x["theta"]
+        S_s = jnp.concatenate([jnp.zeros(3, f), n])
+        h = x["is_hinge"]
+        q_i = jnp.where(h, q_h, q_s)
+        p_i = jnp.where(h, p_h, p_s)
+        S_i = jnp.where(h, S_h, S_s)
+        v_i = vp + S_i * x["qd"]
+        com_i = p_i + _qrot(q_i, x["com_l"])
+        i = x["i"]
+        return (Q.at[i].set(q_i), P.at[i].set(p_i), V.at[i].set(v_i),
+                S.at[i].set(S_i), C.at[i].set(com_i), Aa.at[i].set(a),
+                Nn.at[i].set(n)), None
+
+    (Q, P, V, S, C, Aa, Nn), _ = jax.lax.scan(
+        body, (Q0, P0, V0, S0, C0, A0, N0), xs)
+    q_arr = Q[:nl]
+    # per-link SoA views (tuples of scalars) keep the scalar-path helpers
+    # (geom_world, _point_velocity, subtree_*) working unchanged
+    soa = (
+        tuple(tuple(q_arr[i, k] for k in range(4)) for i in range(nl)),
+        tuple(tuple(P[i, k] for k in range(3)) for i in range(nl)),
+        tuple(((S[i, 0], S[i, 1], S[i, 2]), (S[i, 3], S[i, 4], S[i, 5]))
+              for i in range(nl)),
+        tuple(((V[i, 0], V[i, 1], V[i, 2]), (V[i, 3], V[i, 4], V[i, 5]))
+              for i in range(nl)),
+        tuple(tuple(C[i, k] for k in range(3)) for i in range(nl)),
+    )
+    return eng.Kin(R=quat_to_mat(q_arr), p=P[:nl], S=S[:nl], v=V[:nl],
+                   com=C[:nl], axis_w=Nn[:nl], anchor_w=Aa[:nl], q=q_arr,
+                   soa=soa)
+
+
+def spatial_inertias(model: Model, kin) -> jnp.ndarray:
+    """(nl, 6, 6) world spatial inertia of every link about the world origin.
+
+    I = [[A, ĥ], [ĥᵀ, m·I₃]] with A = R I_local Rᵀ + m(|c|²I − ccᵀ),
+    h = m·c (matches the scalar `_spi_from_link`/`_spi_apply` algebra)."""
+    R = kin.R                                   # (nl, 3, 3)
+    c = kin.com                                 # (nl, 3)
+    m = jnp.asarray(model.link_mass, _f)        # (nl,)
+    I_loc = jnp.asarray(model.link_inertia, _f)  # (nl, 3, 3)
+    A_c = jnp.einsum("nij,njk,nlk->nil", R, I_loc, R)
+    c2 = jnp.sum(c * c, -1)
+    eye = jnp.eye(3, dtype=_f)
+    A = A_c + m[:, None, None] * (
+        c2[:, None, None] * eye - c[:, :, None] * c[:, None, :])
+    h = m[:, None] * c
+    hx = _skew(h)
+    top = jnp.concatenate([A, hx], -1)                         # (nl, 3, 6)
+    bot = jnp.concatenate(
+        [jnp.swapaxes(hx, -1, -2), m[:, None, None] * eye], -1)
+    return jnp.concatenate([top, bot], -2)                     # (nl, 6, 6)
+
+
+def mass_matrix(model: Model, kin, I6, anc_f) -> jnp.ndarray:
+    """CRBA via composite-inertia einsum + masked Gram product."""
+    S = kin.S                                   # (nl, 6)
+    # Ic[i] = Σ_{k : i on path(k)} I6[k]  (subtree composite inertia)
+    Ic = jnp.einsum("ki,kab->iab", anc_f, I6)
+    F = jnp.einsum("iab,ib->ia", Ic, S)          # (nl, 6)
+    Mlow = anc_f * (F @ S.T)                     # rows i, ancestor cols j
+    M = Mlow + Mlow.T - jnp.diag(jnp.diag(Mlow))
+    return M + jnp.diag(jnp.asarray(model.jnt_armature, _f))
+
+
+def bias_forces(model: Model, kin, I6, qvel, anc_f) -> jnp.ndarray:
+    """RNEA with qacc = 0 (Coriolis/centrifugal + gravity), (nv,)."""
+    S, v = kin.S, kin.v                          # (nl, 6)
+    qd = qvel.astype(_f)
+    g = model.gravity
+    a_base = jnp.asarray([0, 0, 0, -g[0], -g[1], -g[2]], _f)
+    T = crm(v, S * qd[:, None])                  # per-joint velocity product
+    a = a_base[None, :] + anc_f @ T              # link accelerations (bias)
+    Iv = jnp.einsum("iab,ib->ia", I6, v)
+    f = jnp.einsum("iab,ib->ia", I6, a) + crf(v, Iv)
+    fsub = anc_f.T @ f                           # subtree force sums
+    return jnp.sum(S * fsub, -1)
+
+
+def project_wrenches(kin, anc_f, F) -> jnp.ndarray:
+    """τ from per-link world-origin wrenches F (nl, 6): each link's wrench
+    acts through every dof on its support path — one maskᵀ matmul."""
+    return jnp.sum(kin.S * (anc_f.T @ F), -1)
+
+
+def _fluid_boxes(model: Model) -> np.ndarray:
+    """(nl, 3) equivalent-inertia-box half-sizes (trace-time constants)."""
+    out = np.zeros((model.nl, 3))
+    for i in range(model.nl):
+        m = float(model.link_mass[i])
+        if m <= 1e-9:
+            continue
+        Idiag = np.diag(np.asarray(model.link_inertia[i], np.float64))
+        out[i] = np.sqrt(np.maximum(
+            1e-12, (Idiag.sum() - 2.0 * Idiag) * 6.0 / m)) / 2.0
+    return out
+
+
+def fluid_wrenches(model: Model, kin) -> jnp.ndarray:
+    """(nl, 6) world-origin wrenches from the dense/viscous medium —
+    the batched form of `engine.fluid_taus`'s inertia-box model."""
+    rho = float(model.density)
+    visc = float(model.viscosity)
+    box = jnp.asarray(_fluid_boxes(model), _f)      # (nl, 3)
+    has_mass = jnp.asarray(model.link_mass > 1e-9, _f)[:, None]
+    R, c = kin.R, kin.com
+    w_w = kin.v[:, :3]
+    v_w = kin.v[:, 3:] + jnp.cross(w_w, c)
+    # local-frame CoM velocities
+    w_l = jnp.einsum("nji,nj->ni", R, w_w)
+    v_l = jnp.einsum("nji,nj->ni", R, v_w)
+    frc = jnp.zeros_like(v_l)
+    trq = jnp.zeros_like(w_l)
+    if visc > 0:
+        diam = 2.0 * box.mean(-1, keepdims=True)
+        trq = trq - np.pi * diam ** 3 * visc * w_l
+        frc = frc - 3.0 * np.pi * diam * visc * v_l
+    if rho > 0:
+        b1 = jnp.roll(box, -1, axis=-1)
+        b2 = jnp.roll(box, -2, axis=-1)
+        frc = frc - 0.5 * rho * b1 * b2 * jnp.abs(v_l) * v_l
+        trq = trq - rho * box * (b1 ** 4 + b2 ** 4) * (
+            jnp.abs(w_l) * w_l) / 64.0
+    f_w = jnp.einsum("nij,nj->ni", R, frc) * has_mass
+    t_w = jnp.einsum("nij,nj->ni", R, trq) * has_mass
+    return jnp.concatenate([jnp.cross(c, f_w) + t_w, f_w], -1)
+
+
+class CollisionProgram:
+    """Static (numpy) batched narrow-phase program compiled from the model's
+    contact pair list. Two categories cover every supported shape pairing:
+
+      * point-vs-plane — spheres (1 point), capsule/cylinder ends (2),
+        box corners (8, radius 0): arrays of (geom, local offset, radius);
+      * segment-vs-segment — sphere/capsule/cylinder bodies as segments
+        (sphere = zero-length).
+
+    The pair axis becomes the vector lane axis: narrow-phase + penalty
+    forces for ANY number of pairs compile to a fixed handful of batched
+    ops (the scalar path unrolls ~150 ops per pair — 176 humanoid pairs
+    took >9 min of XLA compile)."""
+
+    def __init__(self, model: Model):
+        from sgqn_carla_tpu.physics.model import (
+            BOX, CAPSULE, CYLINDER, PLANE, SPHERE)
+
+        pp = {k: [] for k in ("geom", "off", "r", "plane", "link_a",
+                              "link_b", "pair", "mu")}
+        ss = {k: [] for k in ("geom_a", "geom_b", "hl_a", "hl_b", "r_a",
+                              "r_b", "link_a", "link_b", "pair", "mu")}
+        for pi, (gi, gj) in enumerate(np.asarray(model.contact_pairs)):
+            a, b = model.geoms[int(gi)], model.geoms[int(gj)]
+            ga, gb = int(gi), int(gj)
+            if a.gtype == PLANE:
+                a, b, ga, gb = b, a, gb, ga
+            mu = max(a.friction, b.friction)
+            if b.gtype == PLANE:
+                if a.gtype == SPHERE:
+                    pts = [((0.0, 0.0, 0.0), float(a.size[0]))]
+                elif a.gtype in (CAPSULE, CYLINDER):
+                    hl = float(a.size[1])
+                    pts = [((0, 0, -hl), float(a.size[0])),
+                           ((0, 0, +hl), float(a.size[0]))]
+                elif a.gtype == BOX:
+                    sx, sy, sz = [float(s) for s in a.size]
+                    pts = [((x * sx, y * sy, z * sz), 0.0)
+                           for x in (-1, 1) for y in (-1, 1)
+                           for z in (-1, 1)]
+                else:
+                    raise NotImplementedError(
+                        f"plane vs geom type {a.gtype}")
+                for off, r in pts:
+                    pp["geom"].append(ga)
+                    pp["off"].append(off)
+                    pp["r"].append(r)
+                    pp["plane"].append(gb)
+                    pp["link_a"].append(a.link)
+                    pp["link_b"].append(b.link)
+                    pp["pair"].append(pi)
+                    pp["mu"].append(mu)
+            elif (a.gtype in (SPHERE, CAPSULE, CYLINDER)
+                  and b.gtype in (SPHERE, CAPSULE, CYLINDER)):
+                ss["geom_a"].append(ga)
+                ss["geom_b"].append(gb)
+                ss["hl_a"].append(0.0 if a.gtype == SPHERE
+                                  else float(a.size[1]))
+                ss["hl_b"].append(0.0 if b.gtype == SPHERE
+                                  else float(b.size[1]))
+                ss["r_a"].append(float(a.size[0]))
+                ss["r_b"].append(float(b.size[0]))
+                ss["link_a"].append(a.link)
+                ss["link_b"].append(b.link)
+                ss["pair"].append(pi)
+                ss["mu"].append(mu)
+            else:
+                raise NotImplementedError(
+                    f"contact pair {a.gtype} vs {b.gtype} not supported")
+        self.pp = {k: np.asarray(v) for k, v in pp.items()}
+        self.ss = {k: np.asarray(v) for k, v in ss.items()}
+        self.npp = len(pp["pair"])
+        self.nss = len(ss["pair"])
+
+
+_PROGRAMS: dict = {}
+
+
+def collision_program(model: Model) -> CollisionProgram:
+    key = id(model)
+    if key not in _PROGRAMS:
+        _PROGRAMS[key] = CollisionProgram(model)
+    return _PROGRAMS[key]
+
+
+def _contact_depths_points(model, kin, prog):
+    """Batched narrow-phase. Returns per-category (depth, point, normal,
+    mu, link_a, link_b, pair) with normals pointing at the moving geom."""
+    from sgqn_carla_tpu.physics import engine as eng
+
+    Rg, pg = eng.geom_world(model, kin)
+    out = []
+    if prog.npp:
+        d = prog.pp
+        Rp = Rg[d["geom"]]                        # (P, 3, 3)
+        x = pg[d["geom"]] + jnp.einsum(
+            "nij,nj->ni", Rp, jnp.asarray(d["off"], _f))
+        n = Rg[d["plane"]][:, :, 2]
+        d0 = jnp.sum(n * pg[d["plane"]], -1)
+        dist = jnp.sum(n * x, -1) - d0
+        depth = jnp.asarray(d["r"], _f) - dist
+        point = x - n * dist[:, None]
+        out.append((depth, point, n, jnp.asarray(d["mu"], _f),
+                    d["link_a"], d["link_b"], d["pair"]))
+    if prog.nss:
+        d = prog.ss
+        za = Rg[d["geom_a"]][:, :, 2] * jnp.asarray(d["hl_a"], _f)[:, None]
+        zb = Rg[d["geom_b"]][:, :, 2] * jnp.asarray(d["hl_b"], _f)[:, None]
+        a0, a1 = pg[d["geom_a"]] - za, pg[d["geom_a"]] + za
+        b0, b1 = pg[d["geom_b"]] - zb, pg[d["geom_b"]] + zb
+        d1, d2, r = a1 - a0, b1 - b0, a0 - b0
+        aa = jnp.sum(d1 * d1, -1) + 1e-12
+        ee = jnp.sum(d2 * d2, -1) + 1e-12
+        fv = jnp.sum(d2 * r, -1)
+        cc = jnp.sum(d1 * r, -1)
+        bb = jnp.sum(d1 * d2, -1)
+        denom = aa * ee - bb * bb
+        s = jnp.clip((bb * fv - cc * ee) / (denom + 1e-12), 0.0, 1.0)
+        tt = jnp.clip((bb * s + fv) / ee, 0.0, 1.0)
+        s = jnp.clip((bb * tt - cc) / aa, 0.0, 1.0)
+        ca = a0 + d1 * s[:, None]
+        cb = b0 + d2 * tt[:, None]
+        delta = ca - cb
+        dist = jnp.sqrt(jnp.sum(delta * delta, -1) + 1e-12)
+        n = delta / (dist + 1e-9)[:, None]
+        ra = jnp.asarray(d["r_a"], _f)
+        rb = jnp.asarray(d["r_b"], _f)
+        depth = (ra + rb) - dist
+        point = cb + n * (rb - depth / 2)[:, None]
+        out.append((depth, point, n, jnp.asarray(d["mu"], _f),
+                    d["link_a"], d["link_b"], d["pair"]))
+    return out
+
+
+def contact_wrenches_batched(model: Model, kin):
+    """((nl, 6) wrenches, (npair,) normal magnitudes) via the batched
+    narrow-phase — fixed op count regardless of pair count."""
+    prog = collision_program(model)
+    npair = len(model.contact_pairs)
+    kp, kd = model.contact_stiffness, model.contact_damping
+    # link velocities padded so index −1 (world) reads zeros
+    v_pad = jnp.concatenate([kin.v, jnp.zeros((1, 6), _f)], 0)
+    F_pad = jnp.zeros((model.nl + 1, 6), _f)
+    pf = jnp.zeros((npair,), _f)
+    for depth, x, n, mu, la, lb, pair in _contact_depths_points(
+            model, kin, prog):
+        la_j = jnp.asarray(la)
+        lb_j = jnp.asarray(lb)
+        w_a, v_a = v_pad[la_j, :3], v_pad[la_j, 3:]
+        w_b, v_b = v_pad[lb_j, :3], v_pad[lb_j, 3:]
+        v_rel = (jnp.cross(w_a, x) + v_a) - (jnp.cross(w_b, x) + v_b)
+        vn = jnp.sum(v_rel * n, -1)
+        active = (depth > 0).astype(_f)
+        fn = jnp.maximum(kp * depth - kd * vn, 0.0) * active
+        vt = v_rel - n * vn[:, None]
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1)) + 1e-6
+        ft_scale = -mu * fn * jnp.tanh(vt_norm / 0.01) / vt_norm
+        f3 = n * fn[:, None] + vt * ft_scale[:, None]
+        wr = jnp.concatenate([jnp.cross(x, f3), f3], -1)
+        F_pad = F_pad.at[la_j].add(wr).at[lb_j].add(-wr)
+        pf = pf.at[jnp.asarray(pair)].add(fn)
+    return F_pad[:model.nl], pf
+
+
+def penetration_depths_batched(model: Model, qpos) -> jnp.ndarray:
+    """All contact depths at `qpos` (batched max_penetration backend)."""
+    from sgqn_carla_tpu.physics import engine as eng
+
+    kin = eng.forward_kinematics(model, qpos, jnp.zeros_like(qpos))
+    prog = collision_program(model)
+    depths = [jnp.full((1,), -1.0, _f)]
+    for depth, *_ in _contact_depths_points(model, kin, prog):
+        depths.append(depth)
+    return jnp.concatenate(depths)
+
+
+def tendon_wrenches(model: Model, kin) -> jnp.ndarray:
+    """(nl, 6) wrenches from limited spatial tendons (engine.tendon_taus)."""
+    from sgqn_carla_tpu.ops import v3
+    from sgqn_carla_tpu.physics import engine as eng
+
+    qs, ps, _, _, _ = kin.soa
+    links, wrenches = [], []
+    for t in model.tendons:
+        def site(link, pos):
+            if link < 0:
+                return eng._const3(pos)
+            return v3.add(ps[link], v3.qrot(qs[link], eng._const3(pos)))
+
+        pa = site(t.link_a, t.pos_a)
+        pb = site(t.link_b, t.pos_b)
+        delta = v3.sub(pa, pb)
+        length = v3.norm(delta, eps=1e-12) + 1e-9
+        dirn = v3.scale(delta, 1.0 / length)
+        stretch = jnp.maximum(length - t.range[1], 0.0)
+        rate = v3.dot(v3.sub(eng._point_velocity(kin, t.link_a, pa),
+                             eng._point_velocity(kin, t.link_b, pb)), dirn)
+        fmag = t.stiffness * stretch + jnp.where(stretch > 0,
+                                                 t.damping * rate, 0.0)
+        f3 = v3.scale(dirn, -jnp.maximum(fmag, 0.0))
+        for link, sign, x in ((t.link_a, 1.0, pa), (t.link_b, -1.0, pb)):
+            if link >= 0:
+                links.append(link)
+                wrenches.append(sign * jnp.stack([*v3.cross(x, f3), *f3], -1))
+    F = jnp.zeros((model.nl, 6), _f)
+    if links:
+        F = F.at[jnp.asarray(links)].add(jnp.stack(wrenches))
+    return F
+
+
+def forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
+    """qacc + per-pair contact normal forces — dense-path twin of
+    `engine._forward_dynamics`."""
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    from sgqn_carla_tpu.physics import engine as eng
+
+    kin = eng.forward_kinematics(model, qpos, qvel)
+    anc_f = jnp.asarray(anc, _f)
+    I6 = spatial_inertias(model, kin)
+    M = mass_matrix(model, kin, I6, anc_f)
+    C = bias_forces(model, kin, I6, qvel, anc_f)
+    tau = eng.applied_taus(model, qpos, qvel, ctrl)
+    F = jnp.zeros((model.nl, 6), _f)
+    any_wrench = False
+    if model.tendons:
+        F = F + tendon_wrenches(model, kin)
+        any_wrench = True
+    if model.density > 0 or model.viscosity > 0:
+        F = F + fluid_wrenches(model, kin)
+        any_wrench = True
+    if len(model.contact_pairs):
+        Fc, pair_f = contact_wrenches_batched(model, kin)
+        F = F + Fc
+        any_wrench = True
+    else:
+        pair_f = jnp.zeros((0,), _f)
+    if any_wrench:
+        tau = tau + project_wrenches(kin, anc_f, F)
+    rhs = tau - C
+    # keep the regularizer small: fin-class links have ~1e-6 armature and
+    # min-eigenvalues ~1e-7 — a larger shift visibly perturbs qacc
+    Mreg = M + 1e-10 * jnp.eye(model.nl, dtype=M.dtype)
+    qacc = cho_solve(cho_factor(Mreg, lower=True), rhs[..., None])[..., 0]
+    return qacc, pair_f

@@ -46,6 +46,7 @@ def _ensure_imported():
         extra,
         finger,
         fish,
+        humanoid,
         lqr,
         reacher,
         swimmer,

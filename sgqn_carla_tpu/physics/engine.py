@@ -85,7 +85,15 @@ def _const3(a):
 
 
 def forward_kinematics(model: Model, qpos, qvel) -> Kin:
-    """Sequential FK over the static chain; all quaternion component math."""
+    """Sequential FK over the static chain; all quaternion component math.
+
+    Large trees dispatch to the scan-based FK (`dense.forward_kinematics_
+    scan`): XLA compile time on the unrolled chain grows ~3× per 3 links
+    of depth (measured: 0.7 s at 8 links → 140 s at 17)."""
+    from sgqn_carla_tpu.physics import dense
+
+    if model.nl >= dense.DENSE_NL:
+        return dense.forward_kinematics_scan(model, qpos, qvel)
     nl = model.nl
     f = jnp.float32
     theta = qpos.astype(f) - jnp.asarray(model.jnt_ref, f)
@@ -591,15 +599,13 @@ def limit_taus(model: Model, qpos, qvel):
     return tau * limited
 
 
-def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
-    kin = forward_kinematics(model, qpos, qvel)
-    M = _mass_matrix_soa(model, kin)
-    C = _bias_forces_soa(model, kin, qvel)
-    # joint-space applied torques (small (nv,) arrays; one op each).
-    # Generalized transmission: τ = Mᵀ·f with M the (nu, nv) moment matrix;
-    # motors produce f = ctrl (gear folded into M), position servos
-    # f = kp·(ctrl − L) with transmission length L = M·q (MuJoCo <position>
-    # actuators and fixed tendons — reference: fish.xml actuator block).
+def applied_taus(model: Model, qpos, qvel, ctrl):
+    """Joint-space applied torques (small (nv,) arrays; one op each).
+    Generalized transmission: τ = Mᵀ·f with M the (nu, nv) moment matrix;
+    motors produce f = ctrl (gear folded into M), position servos
+    f = kp·(ctrl − L) with transmission length L = M·q (MuJoCo <position>
+    actuators and fixed tendons — reference: fish.xml actuator block).
+    Shared by the scalar-SoA and dense dynamics paths."""
     tau_vec = jnp.zeros(model.nl, jnp.float32)
     if model.nu:
         c_clip = jnp.clip(ctrl.astype(jnp.float32), -1.0, 1.0)
@@ -624,7 +630,14 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
     if np.any(model.jnt_frictionloss):
         tau_vec = tau_vec - jnp.asarray(
             model.jnt_frictionloss, jnp.float32) * jnp.tanh(qvel / 0.01)
-    tau_vec = tau_vec + limit_taus(model, qpos, qvel)
+    return tau_vec + limit_taus(model, qpos, qvel)
+
+
+def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
+    kin = forward_kinematics(model, qpos, qvel)
+    M = _mass_matrix_soa(model, kin)
+    C = _bias_forces_soa(model, kin, qvel)
+    tau_vec = applied_taus(model, qpos, qvel, ctrl)
 
     tau = [tau_vec[i] for i in range(model.nl)]
     if model.tendons:
@@ -646,6 +659,10 @@ def max_penetration(model: Model, qpos) -> jnp.ndarray:
     """Deepest contact penetration at configuration `qpos` (≤ 0 ⇒ free).
     Backs collision-free episode initialization (the reference's retry loop
     checks physics.data.ncon == 0, suite/finger.py:206-216)."""
+    from sgqn_carla_tpu.physics import dense
+
+    if model.nl >= dense.DENSE_NL:
+        return jnp.max(dense.penetration_depths_batched(model, qpos))
     qvel = jnp.zeros_like(qpos)
     kin = forward_kinematics(model, qpos, qvel)
     gw = _geom_world_soa(model, kin)
@@ -658,14 +675,23 @@ def max_penetration(model: Model, qpos) -> jnp.ndarray:
 
 
 def step(model: Model, qpos, qvel, ctrl) -> StepOut:
-    """One physics substep of `model.timestep` seconds."""
+    """One physics substep of `model.timestep` seconds.
+
+    Dynamics backend dispatch: the scalar-SoA path below for small trees,
+    the dense matmul path (`physics/dense.py`) for nl ≥ dense.DENSE_NL —
+    identical physics, bounded compile time (humanoid/swimmer15-class
+    models)."""
+    from sgqn_carla_tpu.physics import dense
+
+    fwd = (dense.forward_dynamics if model.nl >= dense.DENSE_NL
+           else _forward_dynamics)
     anc = _ancestors(model)
     h = model.timestep
     qpos = qpos.astype(jnp.float32)
     qvel = qvel.astype(jnp.float32)
     if model.integrator == "rk4":
         def fdyn(q, qd):
-            qacc, pf = _forward_dynamics(model, q, qd, ctrl, anc)
+            qacc, pf = fwd(model, q, qd, ctrl, anc)
             return qd, qacc, pf
 
         k1v, k1a, pf = fdyn(qpos, qvel)
@@ -675,7 +701,7 @@ def step(model: Model, qpos, qvel, ctrl) -> StepOut:
         qpos_n = qpos + h / 6 * (k1v + 2 * k2v + 2 * k3v + k4v)
         qvel_n = qvel + h / 6 * (k1a + 2 * k2a + 2 * k3a + k4a)
     else:  # semi-implicit Euler (MuJoCo default)
-        qacc, pf = _forward_dynamics(model, qpos, qvel, ctrl, anc)
+        qacc, pf = fwd(model, qpos, qvel, ctrl, anc)
         qvel_n = qvel + h * qacc
         qpos_n = qpos + h * qvel_n
     return StepOut(qpos_n, qvel_n, pf)
