@@ -228,7 +228,9 @@ def project_wrenches(kin, anc_f, F) -> jnp.ndarray:
 
 
 def _fluid_boxes(model: Model) -> np.ndarray:
-    """(nl, 3) equivalent-inertia-box half-sizes (trace-time constants)."""
+    """(nl, 3) equivalent-inertia-box FULL side lengths (trace-time
+    constants) — mj_inertiaBoxFluidModel convention; see the parity note in
+    engine.fluid_taus."""
     out = np.zeros((model.nl, 3))
     for i in range(model.nl):
         m = float(model.link_mass[i])
@@ -236,7 +238,7 @@ def _fluid_boxes(model: Model) -> np.ndarray:
             continue
         Idiag = np.diag(np.asarray(model.link_inertia[i], np.float64))
         out[i] = np.sqrt(np.maximum(
-            1e-12, (Idiag.sum() - 2.0 * Idiag) * 6.0 / m)) / 2.0
+            1e-12, (Idiag.sum() - 2.0 * Idiag) * 6.0 / m))
     return out
 
 
@@ -256,7 +258,7 @@ def fluid_wrenches(model: Model, kin) -> jnp.ndarray:
     frc = jnp.zeros_like(v_l)
     trq = jnp.zeros_like(w_l)
     if visc > 0:
-        diam = 2.0 * box.mean(-1, keepdims=True)
+        diam = box.mean(-1, keepdims=True)
         trq = trq - np.pi * diam ** 3 * visc * w_l
         frc = frc - 3.0 * np.pi * diam * visc * v_l
     if rho > 0:
@@ -407,9 +409,21 @@ def _contact_depths_points(model, kin, prog):
 def contact_wrenches_batched(model: Model, kin):
     """((nl, 6) wrenches, (npair,) normal magnitudes) via the batched
     narrow-phase — fixed op count regardless of pair count."""
+    from sgqn_carla_tpu.physics import engine as eng
+
     prog = collision_program(model)
     npair = len(model.contact_pairs)
-    kp, kd = model.contact_stiffness, model.contact_damping
+    # inertia-scaled soft-constraint gains per pair + gravity feed-forward
+    # when one side is static (see engine.constraint_scales docstring)
+    m_eff, _ = eng.constraint_scales(model)
+    k0, b0, imp = eng._soft_gains(model)
+    kp_pair = jnp.asarray(imp * m_eff * k0, _f)
+    kd_pair = jnp.asarray(imp * m_eff * b0, _f)
+    ka_pair = jnp.asarray(imp * m_eff, _f)
+    one_static = jnp.asarray(
+        [(model.geoms[int(gi)].link < 0) != (model.geoms[int(gj)].link < 0)
+         for gi, gj in model.contact_pairs], _f) if npair else jnp.zeros(0, _f)
+    gvec = jnp.asarray(model.gravity, _f)
     # link velocities padded so index −1 (world) reads zeros
     v_pad = jnp.concatenate([kin.v, jnp.zeros((1, 6), _f)], 0)
     F_pad = jnp.zeros((model.nl + 1, 6), _f)
@@ -418,12 +432,17 @@ def contact_wrenches_batched(model: Model, kin):
             model, kin, prog):
         la_j = jnp.asarray(la)
         lb_j = jnp.asarray(lb)
+        pair_j = jnp.asarray(pair)
+        kp = kp_pair[pair_j]
+        kd = kd_pair[pair_j]
         w_a, v_a = v_pad[la_j, :3], v_pad[la_j, 3:]
         w_b, v_b = v_pad[lb_j, :3], v_pad[lb_j, 3:]
         v_rel = (jnp.cross(w_a, x) + v_a) - (jnp.cross(w_b, x) + v_b)
         vn = jnp.sum(v_rel * n, -1)
         active = (depth > 0).astype(_f)
-        fn = jnp.maximum(kp * depth - kd * vn, 0.0) * active
+        fn = kp * depth - kd * vn - (ka_pair[pair_j] * one_static[pair_j]
+                                     * jnp.sum(gvec * n, -1))
+        fn = jnp.maximum(fn, 0.0) * active
         vt = v_rel - n * vn[:, None]
         vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1)) + 1e-6
         ft_scale = -mu * fn * jnp.tanh(vt_norm / 0.01) / vt_norm
@@ -510,6 +529,10 @@ def forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
     if any_wrench:
         tau = tau + project_wrenches(kin, anc_f, F)
     rhs = tau - C
+    if model.integrator != "rk4":
+        # implicit dof damping, matching MuJoCo's Euler and the SoA path
+        # (engine._forward_dynamics): solve (M + h·diag(d))·qacc = τ
+        M = M + jnp.diag(jnp.asarray(model.jnt_damping, _f)) * model.timestep
     # keep the regularizer small: fin-class links have ~1e-6 armature and
     # min-eigenvalues ~1e-7 — a larger shift visibly perturbs qacc
     Mreg = M + 1e-10 * jnp.eye(model.nl, dtype=M.dtype)

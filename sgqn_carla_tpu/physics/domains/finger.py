@@ -76,10 +76,9 @@ def make_model(spin: bool):
     b.add_camera("cam1", pos=(0, -1, 0.4), xyaxes=(1, 0, 0, 0, 0, 1))
     b.add_actuator("proximal", gear=30.0)
     b.add_actuator("distal", gear=15.0)
-    # gravity is off: contact forces only mediate finger↔spinner pushes, so
-    # soft gains keep the light parts stable without changing behavior
-    return b.finalize().replace(contact_stiffness=2000.0,
-                                contact_damping=50.0)
+    # contact gains are inertia-scaled per pair by the engine
+    # (engine.constraint_scales), sized automatically to the light parts
+    return b.finalize()
 
 
 def _geom_idx(model, name):

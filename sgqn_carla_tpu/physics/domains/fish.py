@@ -104,10 +104,8 @@ def make_model():
     b.add_camera("tracking_x", pos=(-0.3, 0, 0.2),
                  xyaxes=(0, -1, 0, 0.342, 0, 0.940), mode="trackcom",
                  fovy=60.0, body=torso)
-    model = b.finalize()
-    # soft limits for the tiny tail_twist inertia (same reasoning as the
-    # swimmer: explicit-Euler-stable penalty gains)
-    return model.replace(limit_stiffness=1e-3, limit_damping=5e-6)
+    # joint-limit gains are inertia-scaled per dof (engine.constraint_scales)
+    return b.finalize()
 
 
 def _random_quat(rng):

@@ -92,13 +92,9 @@ def make_model(n_links: int):
     b.add_camera("tracking2", pos=(-0.9 * scale, 0.5 * scale, 0.15 * scale),
                  xyaxes=(0, -1, 0, 0.3, 0, 1), mode="trackcom", fovy=60.0,
                  body=head)
-    model = b.finalize()
-    # soft joint limits tuned to the tiny segment inertias (~3e-5 kg·m²):
-    # the engine's default penalty gains (300/2) are unstable under explicit
-    # Euler at dt=0.002 for these bodies; 1.0/0.005 holds |q| at the limit
-    # exactly while staying stable (MuJoCo uses soft solimplimit here too,
-    # swimmer.xml default class)
-    return model.replace(limit_stiffness=1.0, limit_damping=0.005)
+    # joint-limit gains are inertia-scaled per dof by the engine
+    # (engine.constraint_scales) — stable for the tiny segment inertias
+    return b.finalize()
 
 
 def _make(n_links, name):

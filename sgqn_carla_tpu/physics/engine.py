@@ -471,23 +471,180 @@ def _project_point_force(kin: Kin, anc, link: int, x, f3):
     return taus
 
 
+_SCALES_CACHE: dict = {}
+
+
+def constraint_scales(model: Model):
+    """MuJoCo-style inertia scaling for soft contact/limit constraints.
+
+    MuJoCo sizes constraint impedance by the effective inertia
+    (J·M⁻¹·Jᵀ)⁻¹ of each contact and drives it with the solref
+    (timeconst, dampratio) critical-damping law (reference engine steps
+    mj_step → mj_fwdConstraint; dm_control/mujoco/engine.py:148-165). A
+    fixed global spring constant cannot match that across domains whose
+    contacting bodies span four orders of magnitude in mass (walker foot
+    vs ball_in_cup ball) — verified against dm_control golden trajectories
+    in tests/test_parity.py.
+
+    Computes once per model, at the reference configuration q=0:
+      * (npair,) isotropic effective mass per contact pair,
+        m_eff = 3 / tr(J·M⁻¹·Jᵀ) with J the relative point Jacobian at the
+        (dynamic) geom center;
+      * (nl,) joint-space effective inertia 1/(M⁻¹)_jj per dof, scaling the
+        joint-limit constraint.
+    All values are host numpy; they fold into compiled programs as
+    constants.
+    """
+    key = id(model)
+    got = _SCALES_CACHE.get(key)
+    if got is not None and got[0] is model:
+        return got[1], got[2]
+
+    # Pure numpy float64 FK + CRBA at q=0. f32 CRBA loses positive-
+    # definiteness for light chains (swimmer links: m=0.01, I~1e-5 —
+    # observed negative eigenvalues), which corrupts M⁻¹ and with it every
+    # gain; double precision on the host is exact at these scales.
+    nl = model.nl
+
+    def skew(c):
+        return np.array([[0, -c[2], c[1]], [c[2], 0, -c[0]],
+                         [-c[1], c[0], 0]], np.float64)
+
+    def quat_mat(q):
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ], np.float64)
+
+    R = np.zeros((nl, 3, 3))
+    p = np.zeros((nl, 3))
+    S = np.zeros((nl, 6))          # [ω, v] Plücker at the world origin
+    I_O = np.zeros((nl, 6, 6))     # link spatial inertia about the origin
+    for i in range(nl):
+        par = int(model.link_parent[i])
+        Rp = R[par] if par >= 0 else np.eye(3)
+        pp = p[par] if par >= 0 else np.zeros(3)
+        R[i] = Rp @ quat_mat(np.asarray(model.link_quat[i], np.float64))
+        p[i] = pp + Rp @ np.asarray(model.link_pos[i], np.float64)
+        ax = R[i] @ np.asarray(model.jnt_axis[i], np.float64)
+        anchor = p[i] + R[i] @ np.asarray(model.jnt_pos[i], np.float64)
+        if int(model.jnt_type[i]) == HINGE:
+            S[i, :3] = ax
+            S[i, 3:] = np.cross(anchor, ax)
+        else:
+            S[i, 3:] = ax
+        m = float(model.link_mass[i])
+        c = p[i] + R[i] @ np.asarray(model.link_com[i], np.float64)
+        Ic = R[i] @ np.asarray(model.link_inertia[i], np.float64) @ R[i].T
+        cx = skew(c)
+        I_O[i, :3, :3] = Ic + m * (cx @ cx.T)
+        I_O[i, :3, 3:] = m * cx
+        I_O[i, 3:, :3] = m * cx.T
+        I_O[i, 3:, 3:] = m * np.eye(3)
+
+    anc = _ancestors(model)
+    M = np.zeros((nl, nl))
+    for i in range(nl):
+        Ic_sub = I_O[anc[:, i]].sum(axis=0)   # composite inertia of subtree i
+        F = Ic_sub @ S[i]
+        for j in range(nl):
+            if anc[i, j]:
+                M[j, i] = M[i, j] = S[j] @ F
+    M += np.diag(np.asarray(model.jnt_armature, np.float64))
+    reg = 1e-12 * max(np.trace(M) / nl, 1e-9)
+    Minv = np.linalg.inv(M + reg * np.eye(nl))
+
+    # world geom centers at q=0
+    pg = np.zeros((len(model.geoms), 3))
+    for g_i, g in enumerate(model.geoms):
+        if g.link < 0:
+            pg[g_i] = np.asarray(g.pos, np.float64)
+        else:
+            pg[g_i] = p[g.link] + R[g.link] @ np.asarray(g.pos, np.float64)
+
+    def point_jac(link, x):
+        J = np.zeros((3, nl))
+        if link >= 0:
+            for j in range(nl):
+                if anc[link, j]:
+                    J[:, j] = S[j, 3:] + np.cross(S[j, :3], x)
+        return J
+
+    m_eff = np.zeros(max(len(model.contact_pairs), 1))
+    cap = 2.0 * float(np.sum(model.link_mass)) + 1e-6
+    for p_i, (gi, gj) in enumerate(model.contact_pairs):
+        ga, gb = model.geoms[int(gi)], model.geoms[int(gj)]
+        x = pg[int(gi)] if ga.link >= 0 else pg[int(gj)]
+        J = point_jac(ga.link, x) - point_jac(gb.link, x)
+        A = J @ Minv @ J.T
+        # effective mass along the expected contact normal: the plane's
+        # normal when one side is a plane (floor contacts — the dominant
+        # case), else the most-mobile eigendirection of A, which is a
+        # stable lower bound for arbitrary geom-geom normals. A pure
+        # trace average would be diluted by immobile directions
+        # (a z-slide ball reads 3× its mass) and overstiffen.
+        plane = None
+        for gg, other in ((ga, gb), (gb, ga)):
+            if gg.gtype == PLANE:
+                R_p = (np.eye(3) if gg.link < 0
+                       else R[gg.link]) @ quat_mat(
+                           np.asarray(gg.quat, np.float64))
+                plane = R_p[:, 2]
+        if plane is not None:
+            mob = float(plane @ A @ plane)
+        else:
+            mob = float(np.linalg.eigvalsh(A)[-1])
+        # cap: a vanishing Jacobian at the q=0 probe pose would otherwise
+        # read as near-infinite inertia and get explosive gains; no contact
+        # can see more than the whole mechanism's mass
+        m_eff[p_i] = min(1.0 / max(mob, 1e-8), cap)
+    dof_m = 1.0 / np.maximum(np.diag(Minv), 1e-12)
+    _SCALES_CACHE[key] = (model, m_eff, dof_m)
+    return m_eff, dof_m
+
+
+def _soft_gains(model: Model):
+    """(k, b, d): solref-derived constraint gains, to be scaled by the
+    effective inertia — k = 1/(tc·dr)², b = 2/tc, impedance d (MuJoCo
+    default solimp d0 = 0.9)."""
+    tc, dr = getattr(model, "contact_solref", (0.02, 1.0))
+    d = getattr(model, "contact_impedance", 0.9)
+    return 1.0 / (tc * tc * dr * dr), 2.0 / tc, d
+
+
 def contact_taus(model: Model, kin: Kin, gw, anc: np.ndarray):
     """Generalized contact forces (nv list) + per-pair normal magnitudes."""
     nl = model.nl
     zero = jnp.float32(0.0)
     tau = [zero] * nl
     pair_forces = []
-    kp = model.contact_stiffness
-    kd = model.contact_damping
-    for (gi, gj) in model.contact_pairs:
+    m_eff, _ = constraint_scales(model)
+    k0, b0, imp = _soft_gains(model)
+    gvec = np.asarray(model.gravity, np.float64)
+    for pair_i, (gi, gj) in enumerate(model.contact_pairs):
         contacts = _contacts_for_pair(model, kin, int(gi), int(gj), gw)
         fn_total = zero
+        # per-pair inertia-scaled gains (constraint_scales docstring);
+        # the gravity feed-forward mirrors the unconstrained-acceleration
+        # term of MuJoCo's reference acceleration when one side is static
+        kp = jnp.float32(imp * m_eff[pair_i] * k0)
+        kd = jnp.float32(imp * m_eff[pair_i] * b0)
+        ka = jnp.float32(imp * m_eff[pair_i])
+        one_static = (model.geoms[int(gi)].link < 0) != (
+            model.geoms[int(gj)].link < 0)
         for (x, n, depth, mu, la, lb) in contacts:
             active = (depth > 0).astype(jnp.float32)
             v_rel = v3.sub(_point_velocity(kin, la, x),
                            _point_velocity(kin, lb, x))
             vn = v3.dot(v_rel, n)
-            fn = jnp.maximum(kp * depth - kd * vn, 0.0) * active
+            fn = kp * depth - kd * vn
+            if one_static:
+                # −g·n: gravity load along the contact normal
+                fn = fn - ka * (gvec[0] * n[0] + gvec[1] * n[1]
+                                + gvec[2] * n[2])
+            fn = jnp.maximum(fn, 0.0) * active
             vt = v3.sub(v_rel, v3.scale(n, vn))
             vt_norm = v3.norm(vt) + 1e-6
             # regularized Coulomb: full µ·fn beyond ~1 cm/s slip
@@ -554,8 +711,11 @@ def fluid_taus(model: Model, kin: Kin, anc: np.ndarray, tau):
         if m <= 1e-9:
             continue
         Idiag = np.diag(np.asarray(model.link_inertia[i], np.float64))
+        # FULL side lengths (I = m/12·(s_j²+s_k²) ⇒ s_i = √(6(I_j+I_k−I_i)/m));
+        # mj_inertiaBoxFluidModel uses full sizes — half-sizes under-drag
+        # linearly by 4× and angularly by 32× (caught by test_parity swimmer)
         box = np.sqrt(np.maximum(
-            1e-12, (Idiag.sum() - 2.0 * Idiag) * 6.0 / m)) / 2.0  # half-sizes
+            1e-12, (Idiag.sum() - 2.0 * Idiag) * 6.0 / m))
         # local-frame CoM velocity
         w_w = vs[i][0]
         v_w = v3.add(vs[i][1], v3.cross(w_w, coms[i]))
@@ -564,7 +724,7 @@ def fluid_taus(model: Model, kin: Kin, anc: np.ndarray, tau):
         frc = [jnp.float32(0.0)] * 3
         trq = [jnp.float32(0.0)] * 3
         if visc > 0:
-            diam = float(box.mean()) * 2.0
+            diam = float(box.mean())
             for j in range(3):
                 trq[j] = trq[j] - np.pi * diam ** 3 * visc * w_l[j]
                 frc[j] = frc[j] - 3.0 * np.pi * diam * visc * v_l[j]
@@ -585,12 +745,16 @@ def fluid_taus(model: Model, kin: Kin, anc: np.ndarray, tau):
 
 
 def limit_taus(model: Model, qpos, qvel):
-    """One-sided penalty springs at joint limits."""
+    """Joint-limit constraints as inertia-scaled one-sided soft springs:
+    per-dof gains k/b from solref scaled by the joint-space effective
+    inertia 1/(M⁻¹)_jj — same law as contacts (constraint_scales)."""
     lo = jnp.asarray(model.jnt_range[:, 0], qpos.dtype)
     hi = jnp.asarray(model.jnt_range[:, 1], qpos.dtype)
     limited = jnp.asarray(model.jnt_limited, qpos.dtype)
-    k = model.limit_stiffness
-    c = model.limit_damping
+    _, dof_m = constraint_scales(model)
+    k0, b0, imp = _soft_gains(model)
+    k = jnp.asarray(imp * dof_m * k0, qpos.dtype)
+    c = jnp.asarray(imp * dof_m * b0, qpos.dtype)
     below = jnp.maximum(lo - qpos, 0.0)
     above = jnp.maximum(qpos - hi, 0.0)
     tau = k * below - k * above
@@ -637,6 +801,19 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
     kin = forward_kinematics(model, qpos, qvel)
     M = _mass_matrix_soa(model, kin)
     C = _bias_forces_soa(model, kin, qvel)
+    if model.integrator != "rk4" and np.any(np.asarray(model.jnt_damping)):
+        # MuJoCo's Euler integrator treats dof damping implicitly: it solves
+        # (M + h·diag(damping))·qacc = τ with the explicit −D·v force still in
+        # τ (mjModel.opt Euler semantics; reference engine.py:148-165 steps
+        # mj_step, whose mj_Euler does exactly this). Without it, domains
+        # where h·d is comparable to the joint inertia (reacher wrist,
+        # swimmer links) integrate damping explicitly and visibly diverge —
+        # caught by tests/test_parity.py golden trajectories.
+        h = model.timestep
+        for i in range(model.nl):
+            di = float(model.jnt_damping[i])
+            if di:
+                M[i][i] = M[i][i] + jnp.float32(h * di)
     tau_vec = applied_taus(model, qpos, qvel, ctrl)
 
     tau = [tau_vec[i] for i in range(model.nl)]

