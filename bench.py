@@ -73,7 +73,12 @@ def bench_env_steps(num_envs: int, inner: int, reps: int) -> float:
 
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
-    inner = int(os.environ.get("BENCH_INNER", "50"))
+    # 200 scan iterations per dispatch: the axon-tunnel runtime charges a
+    # fixed ~26 ms dispatch overhead to programs launched after a render
+    # program has run once (measured; independent of program content), so
+    # throughput must be read off a long-enough fused rollout — exactly how
+    # the production trainer runs (train/loop.py fused chunks).
+    inner = int(os.environ.get("BENCH_INNER", "200"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     sps = bench_env_steps(num_envs, inner, reps)
     print(json.dumps({

@@ -288,18 +288,30 @@ class CollisionProgram:
 
     def __init__(self, model: Model):
         from sgqn_carla_tpu.physics.model import (
-            BOX, CAPSULE, CYLINDER, PLANE, SPHERE)
+            BOX, CAPSULE, CYLINDER, ELLIPSOID, PLANE, SPHERE)
 
         pp = {k: [] for k in ("geom", "off", "r", "plane", "link_a",
                               "link_b", "pair", "mu")}
         ss = {k: [] for k in ("geom_a", "geom_b", "hl_a", "hl_b", "r_a",
                               "r_b", "link_a", "link_b", "pair", "mu")}
+        ep = {k: [] for k in ("geom", "plane", "size", "link_a", "link_b",
+                              "pair", "mu")}
         for pi, (gi, gj) in enumerate(np.asarray(model.contact_pairs)):
             a, b = model.geoms[int(gi)], model.geoms[int(gj)]
             ga, gb = int(gi), int(gj)
             if a.gtype == PLANE:
                 a, b, ga, gb = b, a, gb, ga
             mu = max(a.friction, b.friction)
+            if b.gtype == PLANE and a.gtype == ELLIPSOID:
+                # support point along −n: x = c − R·(S²·Rᵀn)/√(nᵀRS²Rᵀn)
+                ep["geom"].append(ga)
+                ep["plane"].append(gb)
+                ep["size"].append([float(s) for s in a.size])
+                ep["link_a"].append(a.link)
+                ep["link_b"].append(b.link)
+                ep["pair"].append(pi)
+                ep["mu"].append(mu)
+                continue
             if b.gtype == PLANE:
                 if a.gtype == SPHERE:
                     pts = [((0.0, 0.0, 0.0), float(a.size[0]))]
@@ -343,8 +355,10 @@ class CollisionProgram:
                     f"contact pair {a.gtype} vs {b.gtype} not supported")
         self.pp = {k: np.asarray(v) for k, v in pp.items()}
         self.ss = {k: np.asarray(v) for k, v in ss.items()}
+        self.ep = {k: np.asarray(v) for k, v in ep.items()}
         self.npp = len(pp["pair"])
         self.nss = len(ss["pair"])
+        self.nep = len(ep["pair"])
 
 
 _PROGRAMS: dict = {}
@@ -373,6 +387,22 @@ def _contact_depths_points(model, kin, prog):
         d0 = jnp.sum(n * pg[d["plane"]], -1)
         dist = jnp.sum(n * x, -1) - d0
         depth = jnp.asarray(d["r"], _f) - dist
+        point = x - n * dist[:, None]
+        out.append((depth, point, n, jnp.asarray(d["mu"], _f),
+                    d["link_a"], d["link_b"], d["pair"]))
+    if prog.nep:
+        d = prog.ep
+        Re = Rg[d["geom"]]                        # (E, 3, 3)
+        c = pg[d["geom"]]
+        n = Rg[d["plane"]][:, :, 2]
+        d0 = jnp.sum(n * pg[d["plane"]], -1)
+        nl = jnp.einsum("nji,nj->ni", Re, n)      # plane normal, local frame
+        s2 = jnp.asarray(d["size"], _f) ** 2
+        w = s2 * nl
+        denom = jnp.sqrt(jnp.sum(nl * w, -1) + 1e-12)
+        x = c - jnp.einsum("nij,nj->ni", Re, w) / denom[:, None]
+        dist = jnp.sum(n * x, -1) - d0
+        depth = -dist
         point = x - n * dist[:, None]
         out.append((depth, point, n, jnp.asarray(d["mu"], _f),
                     d["link_a"], d["link_b"], d["pair"]))

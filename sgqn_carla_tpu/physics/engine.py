@@ -38,7 +38,7 @@ import numpy as np
 
 from sgqn_carla_tpu.ops import v3
 from sgqn_carla_tpu.physics.model import (
-    BOX, CAPSULE, CYLINDER, HINGE, PLANE, SLIDE, SPHERE, Model,
+    BOX, CAPSULE, CYLINDER, ELLIPSOID, HINGE, PLANE, SLIDE, SPHERE, Model,
 )
 
 
@@ -430,6 +430,19 @@ def _contacts_for_pair(model, kin, gi, gj, gw):
                         dist = v3.dot(n, corner) - d0
                         out.append((v3.sub(corner, v3.scale(n, dist)), n,
                                     -dist, mu))
+        elif a.gtype == ELLIPSOID:
+            # support point along −n: x = c − R·(S²·Rᵀn)/√(nᵀ·R·S²·Rᵀ·n)
+            ex, ey, ez = v3.q_columns(qa)
+            s2 = [float(s) * float(s) for s in a.size]
+            nl = (v3.dot(n, ex), v3.dot(n, ey), v3.dot(n, ez))
+            w = (s2[0] * nl[0], s2[1] * nl[1], s2[2] * nl[2])
+            denom = jnp.sqrt(nl[0] * w[0] + nl[1] * w[1] + nl[2] * w[2]
+                             + 1e-12)
+            off = v3.add(v3.add(v3.scale(ex, w[0]), v3.scale(ey, w[1])),
+                         v3.scale(ez, w[2]))
+            x = v3.sub(pa, v3.scale(off, 1.0 / denom))
+            dist = v3.dot(n, x) - d0
+            out.append((v3.sub(x, v3.scale(n, dist)), n, -dist, mu))
         else:
             raise NotImplementedError(f"plane vs geom type {a.gtype}")
     elif (a.gtype in (SPHERE, CAPSULE, CYLINDER)
@@ -772,7 +785,12 @@ def applied_taus(model: Model, qpos, qvel, ctrl):
     Shared by the scalar-SoA and dense dynamics paths."""
     tau_vec = jnp.zeros(model.nl, jnp.float32)
     if model.nu:
-        c_clip = jnp.clip(ctrl.astype(jnp.float32), -1.0, 1.0)
+        if model.act_ctrlrange is not None:
+            lo = jnp.asarray(model.act_ctrlrange[:, 0], jnp.float32)
+            hi = jnp.asarray(model.act_ctrlrange[:, 1], jnp.float32)
+        else:
+            lo, hi = -1.0, 1.0
+        c_clip = jnp.clip(ctrl.astype(jnp.float32), lo, hi)
         moment = jnp.asarray(model.act_moment, jnp.float32)
         if np.any(np.asarray(model.act_kind) == 1):
             L = moment @ qpos

@@ -344,11 +344,14 @@ class ModelBuilder:
         self.add_joint(body, HINGE, axis=(0, 0, 1), armature=armature,
                        name=f"{prefix}_rz")
 
-    def add_position_actuator(self, joints, kp: float):
+    def add_position_actuator(self, joints, kp: float, ctrlrange=(-1.0, 1.0)):
         """MuJoCo <position> servo: force = kp·(ctrl − L), L = Σ coef·q.
         `joints`: [(joint_name, coef), ...] — a single joint or a fixed
-        tendon (reference: fish.xml actuators tail/fins_flap)."""
-        self.gen_actuators.append((list(joints), "position", float(kp)))
+        tendon (reference: fish.xml actuators tail/fins_flap). `ctrlrange`
+        is the MuJoCo ctrlrange the engine clips to (quadruped.xml's
+        lift/extend classes use asymmetric ranges)."""
+        self.gen_actuators.append((list(joints), "position", float(kp),
+                                   tuple(ctrlrange)))
 
     def add_fixed_tendon_spring(self, joints, stiffness: float):
         """Passive fixed tendon: τ −= k·L·coef on each joint, with
@@ -444,14 +447,18 @@ class ModelBuilder:
         act_moment = np.zeros((nu_total, nl))
         act_kind = np.zeros(nu_total, np.int32)          # 0=motor 1=position
         act_gain = np.ones(nu_total)
+        act_ctrlrange = np.tile(np.array([-1.0, 1.0]), (nu_total, 1))
         for a, (dof, gear) in enumerate(zip(act_dof, self.actuator_gear)):
             act_moment[a, dof] = gear
-        for a, (joints, kind, gain) in enumerate(self.gen_actuators):
+        for a, spec in enumerate(self.gen_actuators):
+            joints, kind, gain = spec[0], spec[1], spec[2]
             row = a + len(act_dof)
             for jname, coef in joints:
                 act_moment[row, joint_names.index(jname)] = coef
             act_kind[row] = 1 if kind == "position" else 0
             act_gain[row] = gain
+            if len(spec) > 3:
+                act_ctrlrange[row] = spec[3]
         free_roots = [0] * 0
         free_roots = []
         ft_moment = np.zeros((len(self.fixed_tendons), nl))
@@ -545,6 +552,7 @@ class ModelBuilder:
             act_moment=act_moment,
             act_kind=act_kind,
             act_gain=act_gain,
+            act_ctrlrange=act_ctrlrange,
             ft_moment=ft_moment,
             ft_stiff=ft_stiff,
             free_roots=tuple(free_roots),
@@ -620,6 +628,7 @@ class Model:
     act_moment: np.ndarray = None   # (nu, nv) transmission moments
     act_kind: np.ndarray = None     # (nu,) 0=motor 1=position
     act_gain: np.ndarray = None     # (nu,) kp for position actuators
+    act_ctrlrange: np.ndarray = None  # (nu, 2) MuJoCo ctrlrange clip bounds
     ft_moment: np.ndarray = None    # (n_fixed_tendons, nv) passive couplings
     ft_stiff: np.ndarray = None     # (n_fixed_tendons,)
     free_roots: tuple = ()          # start dof of each 6-dof slide+hinge root

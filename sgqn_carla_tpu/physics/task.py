@@ -50,6 +50,12 @@ class Task:
     # reacher/finger targets whose positions the reference mutates in
     # model.geom_pos / site_pos): (model, PhysState) -> {geom_idx: pos(3,)}
     render_overrides_fn: Optional[Callable] = None
+    # optional control-step override: (model, n_sub_steps, PhysState, ctrl)
+    # -> PhysState. Used by domains with actuator activation dynamics (e.g.
+    # quadruped's dyntype=filter servos, reference quadruped.xml default
+    # <general dyntype="filter" dynprm=".1">) that must integrate extra
+    # state alongside the physics substeps.
+    step_fn: Optional[Callable] = None
 
     @property
     def action_size(self) -> int:
@@ -65,6 +71,8 @@ class Task:
         return self.init_fn(self.model, rng)
 
     def step(self, state: PhysState, ctrl) -> PhysState:
+        if self.step_fn is not None:
+            return self.step_fn(self.model, self.n_sub_steps, state, ctrl)
         out = engine.n_steps(self.model, state.qpos, state.qvel, ctrl,
                              self.n_sub_steps)
         return state.replace(qpos=out.qpos, qvel=out.qvel,

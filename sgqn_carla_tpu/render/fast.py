@@ -148,24 +148,23 @@ def render_scene_fast(
         b = baba * rdoa - baoa * bard
         c = baba * oaoa - baoa * baoa - r2 * baba            # (Gc, 1)
         h = b * b - a * c
-        a_s = jnp.where(jnp.abs(a) < 1e-9, 1e-9, a)
+        a_s = jnp.maximum(a, 1e-9)  # a ≥ 0 analytically (Cauchy–Schwarz)
         t_cyl = (-b - jnp.sqrt(jnp.maximum(h, 0.0))) / a_s
         y = baoa + t_cyl * bard
-        cyl_ok = (h > 0) & (y > 0) & (y < baba) & (t_cyl > 1e-4)
-        t_cyl = jnp.where(cyl_ok, t_cyl, _INF)
-        # end caps: sphere A at pa (oc = OA) and B at pa+ba (oc = OA − BA);
-        # their b/c terms follow from the cylinder quantities by linearity
-        b_sa = rdoa
-        c_sa = oaoa - r2
-        disc_a = b_sa * b_sa - c_sa
-        t_ca = -b_sa - jnp.sqrt(jnp.maximum(disc_a, 0.0))
-        t_ca = jnp.where((disc_a > 0) & (t_ca > 1e-4), t_ca, _INF)
-        b_sb = rdoa - bard
-        c_sb = oaoa - 2.0 * baoa + baba - r2
-        disc_b = b_sb * b_sb - c_sb
-        t_cb = -b_sb - jnp.sqrt(jnp.maximum(disc_b, 0.0))
-        t_cb = jnp.where((disc_b > 0) & (t_cb > 1e-4), t_cb, _INF)
-        t_g = jnp.minimum(t_cyl, jnp.minimum(t_ca, t_cb))    # (Gc, P)
+        cyl_ok = (y > 0) & (y < baba) & (t_cyl > 1e-4)
+        # one-cap trick: the cap spheres lie inside the infinite cylinder,
+        # so h ≤ 0 (ray misses the infinite cylinder) ⇒ ray misses the whole
+        # capsule; and when the cylinder root's axis parameter y falls
+        # outside [0, |ba|²], only the cap on that side can be hit — test a
+        # single sphere selected per pixel instead of both end caps.
+        use_b = y >= baba
+        b_s = jnp.where(use_b, rdoa - bard, rdoa)
+        c_s = jnp.where(use_b, oaoa - 2.0 * baoa + baba - r2, oaoa - r2)
+        disc = b_s * b_s - c_s
+        t_cap = -b_s - jnp.sqrt(jnp.maximum(disc, 0.0))
+        cap_ok = (disc > 0) & (t_cap > 1e-4)
+        t_g = jnp.where(cyl_ok, t_cyl, jnp.where(cap_ok, t_cap, _INF))
+        t_g = jnp.where(h > 0, t_g, _INF)                    # (Gc, P)
 
         t_c = jnp.min(t_g, axis=0)                           # (P,)
         idx = jnp.argmin(t_g, axis=0)                        # (P,)

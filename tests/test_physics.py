@@ -127,12 +127,13 @@ class TestDomains:
 
     def test_determinism(self):
         t = load("walker", "walk")
+        step = jax.jit(lambda s, c: t.step(s, c))
         runs = []
         for _ in range(2):
             state = t.init(jax.random.PRNGKey(42))
             ctrl = jnp.ones(t.action_size, jnp.float32) * 0.3
             for _ in range(10):
-                state = t.step(state, ctrl)
+                state = step(state, ctrl)
             runs.append(np.asarray(state.qpos))
         np.testing.assert_array_equal(runs[0], runs[1])
 
