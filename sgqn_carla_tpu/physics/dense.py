@@ -296,6 +296,23 @@ class CollisionProgram:
                               "r_b", "link_a", "link_b", "pair", "mu")}
         ep = {k: [] for k in ("geom", "plane", "size", "link_a", "link_b",
                               "pair", "mu")}
+        pb = {k: [] for k in ("geom_pt", "off", "r", "geom_box", "size",
+                              "link_a", "link_b", "pair", "mu")}
+
+        def _pt_samples(g):
+            """Local-frame sample points + radius for point-vs-box."""
+            if g.gtype == SPHERE:
+                return [(0.0, 0.0, 0.0)], float(g.size[0])
+            if g.gtype in (CAPSULE, CYLINDER):
+                hl = float(g.size[1])
+                return [(0.0, 0.0, hl * t) for t in
+                        (-1.0, -0.5, 0.0, 0.5, 1.0)], float(g.size[0])
+            if g.gtype == BOX:
+                sx, sy, sz = [float(s) for s in g.size]
+                return [(x * sx, y * sy, z * sz) for x in (-1, 1)
+                        for y in (-1, 1) for z in (-1, 1)], 0.0
+            raise NotImplementedError(
+                f"box sampling for geom type {g.gtype}")
         for pi, (gi, gj) in enumerate(np.asarray(model.contact_pairs)):
             a, b = model.geoms[int(gi)], model.geoms[int(gj)]
             ga, gb = int(gi), int(gj)
@@ -350,15 +367,39 @@ class CollisionProgram:
                 ss["link_b"].append(b.link)
                 ss["pair"].append(pi)
                 ss["mu"].append(mu)
+            elif BOX in (a.gtype, b.gtype):
+                # point-sample narrow phase (corner-face manifolds)
+                def emit(pt_g, pt_id, box_g, box_id):
+                    pts, r = _pt_samples(pt_g)
+                    for off in pts:
+                        pb["geom_pt"].append(pt_id)
+                        pb["off"].append(off)
+                        pb["r"].append(r)
+                        pb["geom_box"].append(box_id)
+                        pb["size"].append([float(s) for s in box_g.size])
+                        pb["link_a"].append(pt_g.link)
+                        pb["link_b"].append(box_g.link)
+                        pb["pair"].append(pi)
+                        pb["mu"].append(mu)
+
+                if a.gtype == BOX and b.gtype == BOX:
+                    emit(a, ga, b, gb)
+                    emit(b, gb, a, ga)
+                elif a.gtype == BOX:
+                    emit(b, gb, a, ga)
+                else:
+                    emit(a, ga, b, gb)
             else:
                 raise NotImplementedError(
                     f"contact pair {a.gtype} vs {b.gtype} not supported")
         self.pp = {k: np.asarray(v) for k, v in pp.items()}
         self.ss = {k: np.asarray(v) for k, v in ss.items()}
         self.ep = {k: np.asarray(v) for k, v in ep.items()}
+        self.pb = {k: np.asarray(v) for k, v in pb.items()}
         self.npp = len(pp["pair"])
         self.nss = len(ss["pair"])
         self.nep = len(ep["pair"])
+        self.npb = len(pb["pair"])
 
 
 _PROGRAMS: dict = {}
@@ -403,6 +444,33 @@ def _contact_depths_points(model, kin, prog):
         x = c - jnp.einsum("nij,nj->ni", Re, w) / denom[:, None]
         dist = jnp.sum(n * x, -1) - d0
         depth = -dist
+        point = x - n * dist[:, None]
+        out.append((depth, point, n, jnp.asarray(d["mu"], _f),
+                    d["link_a"], d["link_b"], d["pair"]))
+    if prog.npb:
+        d = prog.pb
+        Rp = Rg[d["geom_pt"]]                     # (N, 3, 3)
+        x = pg[d["geom_pt"]] + jnp.einsum(
+            "nij,nj->ni", Rp, jnp.asarray(d["off"], _f))
+        Rb = Rg[d["geom_box"]]
+        c = pg[d["geom_box"]]
+        q = jnp.einsum("nji,nj->ni", Rb, x - c)   # box-local point
+        s = jnp.asarray(d["size"], _f)
+        cl = jnp.clip(q, -s, s)
+        delta = q - cl
+        d2 = jnp.sum(delta * delta, -1)
+        outside = d2 > 1e-12
+        dist_out = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        n_out = delta / dist_out[:, None]
+        fd = s - jnp.abs(q)
+        k_best = jnp.argmin(fd, -1)
+        dist_in = -jnp.min(fd, -1)
+        sgn = jnp.sign(jnp.where(jnp.abs(q) < 1e-9, 1.0, q))
+        n_in = sgn * (jnp.arange(3)[None, :] == k_best[:, None])
+        dist = jnp.where(outside, dist_out, dist_in)
+        n_l = jnp.where(outside[:, None], n_out, n_in)
+        n = jnp.einsum("nij,nj->ni", Rb, n_l)     # box → point-geom normal
+        depth = jnp.asarray(d["r"], _f) - dist
         point = x - n * dist[:, None]
         out.append((depth, point, n, jnp.asarray(d["mu"], _f),
                     d["link_a"], d["link_b"], d["pair"]))

@@ -48,6 +48,7 @@ def _ensure_imported():
         fish,
         humanoid,
         lqr,
+        manipulator,
         quadruped,
         reacher,
         swimmer,

@@ -393,6 +393,66 @@ def _closest_segment_points(a0, a1, b0, b1):
     return v3.add(a0, v3.scale(d1, s)), v3.add(b0, v3.scale(d2, t))
 
 
+def _point_box_soa(pt, qb, pb, size):
+    """Point vs oriented box (SoA): returns (n, dist) with ``n`` the world
+    unit normal pointing from the box surface toward the point and ``dist``
+    the signed distance (negative inside). Smooth select between the
+    outside (clamp) and inside (nearest face) branches — both always
+    computed (static shapes)."""
+    ex, ey, ez = v3.q_columns(qb)
+    rel = v3.sub(pt, pb)
+    q = (v3.dot(rel, ex), v3.dot(rel, ey), v3.dot(rel, ez))
+    s = [float(size[k]) for k in range(3)]
+    cl = tuple(jnp.clip(q[k], -s[k], s[k]) for k in range(3))
+    delta = tuple(q[k] - cl[k] for k in range(3))
+    d2 = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
+    outside = d2 > 1e-12
+    dist_out = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    n_out = tuple(delta[k] / dist_out for k in range(3))
+    # inside: nearest face along the axis of least remaining clearance
+    fd = tuple(s[k] - jnp.abs(q[k]) for k in range(3))
+    m01 = fd[0] <= fd[1]
+    m = jnp.where(m01, fd[0], fd[1])
+    k_best = jnp.where(m01, 0, 1)
+    k_best = jnp.where(fd[2] < m, 2, k_best)
+    dist_in = -jnp.minimum(m, fd[2])
+    sign = [jnp.sign(jnp.where(jnp.abs(q[k]) < 1e-9, 1.0, q[k]))
+            for k in range(3)]
+    n_in = tuple(jnp.where(k_best == k, sign[k], 0.0) for k in range(3))
+    dist = jnp.where(outside, dist_out, dist_in)
+    n_local = tuple(jnp.where(outside, n_out[k], n_in[k]) for k in range(3))
+    n_world = v3.add(v3.add(v3.scale(ex, n_local[0]),
+                            v3.scale(ey, n_local[1])),
+                     v3.scale(ez, n_local[2]))
+    return n_world, dist
+
+
+def _box_sample_points(g, qg, pg_):
+    """World-space sample points representing a geom for point-vs-box
+    narrow phase: sphere center (1), capsule segment samples (5), box
+    corners (8, radius 0)."""
+    if g.gtype == SPHERE:
+        return [pg_], float(g.size[0])
+    if g.gtype in (CAPSULE, CYLINDER):
+        a, b = _capsule_segment_soa(g, qg, pg_)
+        pts = []
+        for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+            pts.append(v3.add(v3.scale(a, 1 - t), v3.scale(b, t)))
+        return pts, float(g.size[0])
+    if g.gtype == BOX:
+        ex, ey, ez = v3.q_columns(qg)
+        pts = []
+        for sx in (-1, 1):
+            for sy in (-1, 1):
+                for sz in (-1, 1):
+                    pts.append(v3.add(pg_, v3.add(
+                        v3.scale(ex, sx * float(g.size[0])),
+                        v3.add(v3.scale(ey, sy * float(g.size[1])),
+                               v3.scale(ez, sz * float(g.size[2]))))))
+        return pts, 0.0
+    raise NotImplementedError(f"box sampling for geom type {g.gtype}")
+
+
 def _contacts_for_pair(model, kin, gi, gj, gw):
     """Contacts for one static geom pair (SoA).
 
@@ -462,6 +522,30 @@ def _contacts_for_pair(model, kin, gi, gj, gw):
         depth = (ra + rb) - dist
         point = v3.add(cb, v3.scale(n, rb - depth / 2))
         out.append((point, n, depth, mu))
+    elif BOX in (a.gtype, b.gtype):
+        # point-sample narrow phase vs the box: sphere center / capsule
+        # segment samples / other box's corners, each clamped to the box
+        # (corner-face manifolds; edge-edge configurations are not
+        # resolved — adequate for resting/stacking contacts)
+        if a.gtype == BOX and b.gtype != BOX:
+            # normal must point from b toward a: flip roles
+            a, b, gi, gj = b, a, gj, gi
+            (qa, pa), (qb, pb) = gw[gi], gw[gj]
+        box, (qx, px) = b, (qb, pb)
+        pts, r = _box_sample_points(a, qa, pa)
+        for pt in pts:
+            n, dist = _point_box_soa(pt, qx, px, box.size)
+            depth = r - dist
+            point = v3.sub(pt, v3.scale(n, dist))
+            out.append((point, n, depth, mu))
+        if a.gtype == BOX:  # box-box: also corners of b clamped to a
+            pts2, _ = _box_sample_points(b, qb, pb)
+            for pt in pts2:
+                n, dist = _point_box_soa(pt, qa, pa, a.size)
+                depth = -dist
+                point = v3.sub(pt, v3.scale(n, dist))
+                # normal from a toward b here → flip to keep b→a convention
+                out.append((point, v3.scale(n, -1.0), depth, mu))
     else:
         raise NotImplementedError(
             f"contact pair {a.gtype} vs {b.gtype} not supported")

@@ -353,6 +353,15 @@ class ModelBuilder:
         self.gen_actuators.append((list(joints), "position", float(kp),
                                    tuple(ctrlrange)))
 
+    def add_tendon_motor(self, joints, gear: float = 1.0,
+                         ctrlrange=(-1.0, 1.0)):
+        """MuJoCo <motor tendon=...>: force = gear·ctrl through a fixed
+        tendon, τ = coef·gear·ctrl on each joint (reference:
+        manipulator.xml actuator `grasp`)."""
+        self.gen_actuators.append(
+            ([(j, c * gear) for j, c in joints], "motor", 1.0,
+             tuple(ctrlrange)))
+
     def add_fixed_tendon_spring(self, joints, stiffness: float):
         """Passive fixed tendon: τ −= k·L·coef on each joint, with
         L = Σ coef·q (reference: fish.xml tendon fins_sym)."""
