@@ -51,6 +51,7 @@ def _ensure_imported():
         manipulator,
         quadruped,
         reacher,
+        stacker,
         swimmer,
         walker,
     )

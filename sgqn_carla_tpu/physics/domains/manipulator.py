@@ -66,9 +66,9 @@ def _fromto_len(ft):
     return float(np.linalg.norm(b - a))
 
 
-def make_model(use_peg: bool, insert: bool):
-    b = ModelBuilder(timestep=0.001, integrator="euler")
-    # arena (manipulator.xml:60-64); the background plane is visual-only
+def build_arena(b: ModelBuilder):
+    """Shared planar arena (manipulator.xml:60-64 == stacker.xml:60-64);
+    the background plane is visual-only."""
     b.add_geom(0, PLANE, size=(0.4, 0.2, 10), material="grid", name="floor",
                friction=0.7)
     b.add_geom(0, PLANE, size=(0.4, 0.2, 10), pos=(-0.682843, 0, 0.282843),
@@ -79,12 +79,20 @@ def make_model(use_peg: bool, insert: bool):
                euler_deg=(90, 0, 0), material="decoration", name="arm_root",
                contype=0, conaffinity=0, mass=0)
 
+
+def _mk_cap(b):
     def cap(body, name, fromto, r, density=500.0, material="self",
             friction=0.7, **kw):
         b.add_geom(body, CAPSULE, size=(r,), fromto=fromto, material=material,
                    name=name, friction=friction,
                    mass=_cap_mass(r, _fromto_len(fromto), density), **kw)
+    return cap
 
+
+def build_arm(b: ModelBuilder):
+    """The shared 4-link arm + two-finger gripper (manipulator.xml:69-119
+    == stacker.xml:70-120) and its actuators/coupling."""
+    cap = _mk_cap(b)
     upper = b.add_body(0, pos=(0, 0, 0.4), name="upper_arm")
     b.add_joint(upper, HINGE, axis=(0, -1, 0), damping=2.0, name="arm_root")
     cap(upper, "upper_arm", (0, 0, 0, 0, 0, 0.18), 0.02)
@@ -121,6 +129,24 @@ def make_model(use_peg: bool, insert: bool):
         b.add_geom(tip, SPHERE, size=(0.008,), pos=(0.003, 0, 0),
                    material="effector", name=f"{side}tip2", friction=0.7,
                    mass=_cap_mass(0.008, 0))
+
+    # actuators (manipulator.xml:203-209 == stacker.xml:186-192)
+    b.add_actuator("arm_root", 12.0)
+    b.add_actuator("arm_shoulder", 8.0)
+    b.add_actuator("arm_elbow", 4.0)
+    b.add_actuator("arm_wrist", 2.0)
+    b.add_tendon_motor([("thumb", 0.5), ("finger", 0.5)], gear=2.0)
+    # coupling equality → stiff spring (manipulator.xml:185-193)
+    b.add_fixed_tendon_spring([("thumb", -0.5), ("finger", 0.5)],
+                              stiffness=100.0)
+    return hand
+
+
+def make_model(use_peg: bool, insert: bool):
+    b = ModelBuilder(timestep=0.001, integrator="euler")
+    build_arena(b)
+    build_arm(b)
+    cap = _mk_cap(b)
 
     # ---- prop: planar free body (slide x, slide z, hinge y)
     obj = b.add_body(0, pos=(0, 0, 0), name="peg" if use_peg else "ball")
@@ -186,16 +212,6 @@ def make_model(use_peg: bool, insert: bool):
                 # obstacle class: friction 0 (manipulator.xml:48-50)
                 cap(rec, nm, ft, 0.008, material="decoration",
                     friction=0.0)
-
-    # actuators (manipulator.xml:203-209)
-    b.add_actuator("arm_root", 12.0)
-    b.add_actuator("arm_shoulder", 8.0)
-    b.add_actuator("arm_elbow", 4.0)
-    b.add_actuator("arm_wrist", 2.0)
-    b.add_tendon_motor([("thumb", 0.5), ("finger", 0.5)], gear=2.0)
-    # coupling equality → stiff spring (manipulator.xml:185-193)
-    b.add_fixed_tendon_spring([("thumb", -0.5), ("finger", 0.5)],
-                              stiffness=100.0)
 
     b.add_camera("fixed", pos=(0, -16, 0.4), xyaxes=(1, 0, 0, 0, 0, 1),
                  fovy=4.0)
