@@ -298,6 +298,8 @@ class CollisionProgram:
                               "pair", "mu")}
         pb = {k: [] for k in ("geom_pt", "off", "r", "geom_box", "size",
                               "link_a", "link_b", "pair", "mu")}
+        pe = {k: [] for k in ("geom_pt", "off", "r", "geom_el", "size",
+                              "link_a", "link_b", "pair", "mu")}
 
         def _pt_samples(g):
             """Local-frame sample points + radius for point-vs-box."""
@@ -311,6 +313,15 @@ class CollisionProgram:
                 sx, sy, sz = [float(s) for s in g.size]
                 return [(x * sx, y * sy, z * sz) for x in (-1, 1)
                         for y in (-1, 1) for z in (-1, 1)], 0.0
+            if g.gtype == ELLIPSOID:
+                # axis extremes (ellipsoid↔ellipsoid hand contacts are
+                # incidental; min semi-axis as the point radius keeps a
+                # contact patch near the true surface)
+                sx, sy, sz = [float(s) for s in g.size]
+                rmin = min(sx, sy, sz)
+                return [(sx - rmin, 0, 0), (rmin - sx, 0, 0),
+                        (0, sy - rmin, 0), (0, rmin - sy, 0),
+                        (0, 0, sz - rmin), (0, 0, rmin - sz)], rmin
             raise NotImplementedError(
                 f"box sampling for geom type {g.gtype}")
         for pi, (gi, gj) in enumerate(np.asarray(model.contact_pairs)):
@@ -389,6 +400,22 @@ class CollisionProgram:
                     emit(b, gb, a, ga)
                 else:
                     emit(a, ga, b, gb)
+            elif ELLIPSOID in (a.gtype, b.gtype):
+                # point-sample vs ellipsoid (scaled-space distance; exact
+                # on the axes — hand-ellipsoid contacts are incidental)
+                if a.gtype == ELLIPSOID:
+                    a, b, ga, gb = b, a, gb, ga
+                pts, r = _pt_samples(a)
+                for off in pts:
+                    pe["geom_pt"].append(ga)
+                    pe["off"].append(off)
+                    pe["r"].append(r)
+                    pe["geom_el"].append(gb)
+                    pe["size"].append([float(s) for s in b.size])
+                    pe["link_a"].append(a.link)
+                    pe["link_b"].append(b.link)
+                    pe["pair"].append(pi)
+                    pe["mu"].append(mu)
             else:
                 raise NotImplementedError(
                     f"contact pair {a.gtype} vs {b.gtype} not supported")
@@ -396,10 +423,12 @@ class CollisionProgram:
         self.ss = {k: np.asarray(v) for k, v in ss.items()}
         self.ep = {k: np.asarray(v) for k, v in ep.items()}
         self.pb = {k: np.asarray(v) for k, v in pb.items()}
+        self.pe = {k: np.asarray(v) for k, v in pe.items()}
         self.npp = len(pp["pair"])
         self.nss = len(ss["pair"])
         self.nep = len(ep["pair"])
         self.npb = len(pb["pair"])
+        self.npe = len(pe["pair"])
 
 
 _PROGRAMS: dict = {}
@@ -470,6 +499,26 @@ def _contact_depths_points(model, kin, prog):
         dist = jnp.where(outside, dist_out, dist_in)
         n_l = jnp.where(outside[:, None], n_out, n_in)
         n = jnp.einsum("nij,nj->ni", Rb, n_l)     # box → point-geom normal
+        depth = jnp.asarray(d["r"], _f) - dist
+        point = x - n * dist[:, None]
+        out.append((depth, point, n, jnp.asarray(d["mu"], _f),
+                    d["link_a"], d["link_b"], d["pair"]))
+    if prog.npe:
+        d = prog.pe
+        Rp = Rg[d["geom_pt"]]
+        x = pg[d["geom_pt"]] + jnp.einsum(
+            "nij,nj->ni", Rp, jnp.asarray(d["off"], _f))
+        Re = Rg[d["geom_el"]]
+        c = pg[d["geom_el"]]
+        q = jnp.einsum("nji,nj->ni", Re, x - c)
+        s = jnp.asarray(d["size"], _f)
+        u = q / s
+        nu = jnp.sqrt(jnp.sum(u * u, -1) + 1e-12)
+        qn = jnp.sqrt(jnp.sum(q * q, -1) + 1e-12)
+        dist = (nu - 1.0) * qn / nu
+        n_l = q / (s * s)
+        n_l = n_l / jnp.sqrt(jnp.sum(n_l * n_l, -1, keepdims=True) + 1e-12)
+        n = jnp.einsum("nij,nj->ni", Re, n_l)
         depth = jnp.asarray(d["r"], _f) - dist
         point = x - n * dist[:, None]
         out.append((depth, point, n, jnp.asarray(d["mu"], _f),

@@ -47,6 +47,7 @@ def _ensure_imported():
         finger,
         fish,
         humanoid,
+        humanoid_cmu,
         lqr,
         manipulator,
         quadruped,

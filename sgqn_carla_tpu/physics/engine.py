@@ -546,6 +546,28 @@ def _contacts_for_pair(model, kin, gi, gj, gw):
                 point = v3.sub(pt, v3.scale(n, dist))
                 # normal from a toward b here → flip to keep b→a convention
                 out.append((point, v3.scale(n, -1.0), depth, mu))
+    elif ELLIPSOID in (a.gtype, b.gtype):
+        # point-sample vs ellipsoid (scaled-space distance, exact on axes)
+        if a.gtype == ELLIPSOID:
+            a, b, gi, gj = b, a, gj, gi
+            (qa, pa), (qb, pb) = gw[gi], gw[gj]
+        pts, r = _box_sample_points(a, qa, pa)
+        ex, ey, ez = v3.q_columns(qb)
+        s = [float(b.size[k]) + 1e-9 for k in range(3)]
+        for pt in pts:
+            rel = v3.sub(pt, pb)
+            q = (v3.dot(rel, ex), v3.dot(rel, ey), v3.dot(rel, ez))
+            u2 = (q[0] / s[0]) ** 2 + (q[1] / s[1]) ** 2 + (q[2] / s[2]) ** 2
+            nu = jnp.sqrt(u2 + 1e-12)
+            qn = jnp.sqrt(q[0] ** 2 + q[1] ** 2 + q[2] ** 2 + 1e-12)
+            dist = (nu - 1.0) * qn / nu
+            nl = (q[0] / s[0] ** 2, q[1] / s[1] ** 2, q[2] / s[2] ** 2)
+            nl, _ = v3.normalize(nl)
+            n = v3.add(v3.add(v3.scale(ex, nl[0]), v3.scale(ey, nl[1])),
+                       v3.scale(ez, nl[2]))
+            depth = r - dist
+            point = v3.sub(pt, v3.scale(n, dist))
+            out.append((point, n, depth, mu))
     else:
         raise NotImplementedError(
             f"contact pair {a.gtype} vs {b.gtype} not supported")

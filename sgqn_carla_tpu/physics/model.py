@@ -235,6 +235,14 @@ class ModelBuilder:
         self.tendons: List[TendonSpec] = []
         self._tendon_bodies: List[Tuple] = []
         self.contact_solref = (0.02, 1.0)
+        # MuJoCo <contact><exclude body1= body2=> pairs (body indices)
+        self.excluded_body_pairs: List[Tuple[int, int]] = []
+
+    def exclude_contact(self, body_a: int, body_b: int):
+        """MuJoCo `<contact><exclude>`: drop all geom pairs between two
+        bodies (reference: humanoid_CMU.xml:211-217 — clavicle/neck geoms
+        overlap at rest and must not generate penalty forces)."""
+        self.excluded_body_pairs.append((body_a, body_b))
 
     # -- authoring -----------------------------------------------------------
     def add_body(self, parent: int, pos=(0, 0, 0), quat=None, euler_deg=None,
@@ -481,6 +489,8 @@ class ModelBuilder:
 
         # contact pairs: (i, j) if contype/conaffinity match, different links,
         # and not a parent-child link pair (MuJoCo default exclusion)
+        excluded = {frozenset((body_to_link[a], body_to_link[b]))
+                    for a, b in self.excluded_body_pairs}
         pairs = []
         for i in range(len(geoms)):
             for j in range(i + 1, len(geoms)):
@@ -489,6 +499,8 @@ class ModelBuilder:
                 if not compat:
                     continue
                 if gi.link == gj.link:
+                    continue
+                if frozenset((gi.link, gj.link)) in excluded:
                     continue
                 # parent-child exclusion (MuJoCo default); the world body is
                 # exempt, so floor contacts with root bodies survive
