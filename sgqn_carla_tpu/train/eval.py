@@ -22,6 +22,8 @@ from sgqn_carla_tpu.train.video import VideoRecorder
 
 
 def main(argv=None):
+    from sgqn_carla_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     cfg = parse_args(argv)
     work_dir = work_dir_for(cfg)
     model_dir = os.path.join(work_dir, "model")

@@ -14,6 +14,8 @@ from sgqn_carla_tpu.train.loop import run_training
 
 
 def main(argv=None):
+    from sgqn_carla_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     cfg = parse_args(argv)
     if cfg.domain_name != "carla":
         cfg = cfg.replace(domain_name="carla", task_name="drive")

@@ -52,6 +52,13 @@ class VideoRecorder:
         if self.enabled:
             self.frames.append(np.asarray(env.render_eval(state, self.height)))
 
+    def record_frames(self, frames):
+        """Append a (T, H, W, 3) uint8 batch rendered on-device by a fused
+        eval rollout (one host pull for the whole episode instead of one
+        dispatch per step)."""
+        if self.enabled:
+            self.frames.extend(np.asarray(frames))
+
     def save(self, file_name: str):
         if not self.enabled or not self.frames:
             return

@@ -3,6 +3,8 @@ modeled on the reference's domains_test harness (reference:
 src/env/dm_control/dm_control/suite/tests/domains_test.py: spec conformance
 :150, determinism :171, obs/reward validation :76-103)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,13 +14,27 @@ from sgqn_carla_tpu.physics.domains import available, load
 
 ALL = available()
 
-# (domain, task) pairs excluded from the per-domain property tests; empty
-# since the dense dynamics + scan-FK path bounded large-model compile time
-# (tests/test_physics_dense.py covers the path equivalence)
-SLOW_COMPILE = set()
+# Wall-clock budget (VERDICT round 1, next-step #9: suite < 10 min): by
+# default the per-domain property tests run ONE representative task per
+# domain (every task still loads through the same model/engine/reward code
+# paths); SGQN_TEST_ALL=1 widens to all registered tasks. The
+# representative is chosen as the task the DMCGB benchmark exercises where
+# applicable, else the first registered.
+_PREFERRED = {"walker": "walk", "cartpole": "swingup", "finger": "spin",
+              "cheetah": "run", "ball_in_cup": "catch", "reacher": "easy",
+              "quadruped": "walk", "manipulator": "bring_ball",
+              "stacker": "stack_2", "humanoid": "walk",
+              "humanoid_CMU": "stand", "fish": "swim"}
 
-
-FAST = [k for k in ALL if k not in SLOW_COMPILE]
+if os.environ.get("SGQN_TEST_ALL"):
+    FAST = list(ALL)
+else:
+    FAST = []
+    for dom in sorted({d for d, _ in ALL}):
+        task = _PREFERRED.get(dom)
+        if task is None or (dom, task) not in ALL:
+            task = next(t for d, t in ALL if d == dom)
+        FAST.append((dom, task))
 
 
 class _JitTask:
@@ -38,9 +54,22 @@ class _JitTask:
         self.model = self.t.model
 
 
+class _LazyTasks:
+    """Build (and jit) each task on first use so a single-test run never
+    pays for the whole registry."""
+
+    def __init__(self):
+        self._cache = {}
+
+    def __getitem__(self, key):
+        if key not in self._cache:
+            self._cache[key] = _JitTask(key)
+        return self._cache[key]
+
+
 @pytest.fixture(scope="module")
 def tasks():
-    return {k: _JitTask(k) for k in FAST}
+    return _LazyTasks()
 
 
 def test_expected_registry():
