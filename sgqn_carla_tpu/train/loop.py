@@ -136,6 +136,13 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                   if cfg.eval_mode == "all"
                   else [cfg.eval_mode] if cfg.eval_mode not in (None, "train")
                   else [])
+    if cfg.domain_name == "carla":
+        # the CARLA twin supports train/color_* only (reference
+        # train_carla.py:98-152 builds exactly a color_easy test env);
+        # video modes would raise in the env constructor
+        eval_modes = [m for m in eval_modes if m.startswith("color")]
+        if cfg.eval_mode == "all":
+            eval_modes = ["color_easy"]
     for m in eval_modes:
         test_envs.append(env_factory(
             domain_name=cfg.domain_name, task_name=cfg.task_name,
