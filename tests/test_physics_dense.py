@@ -112,3 +112,66 @@ def test_dense_vmap_batch():
     out = np.asarray(jax.jit(f)(qpos, qvel, ctrl))
     assert out.shape == (B, model.nv)
     assert np.isfinite(out).all()
+
+
+# ---------------------------------------------------------------- box/ellipsoid
+# narrow-phase regression: the point-sample box contacts (corner-face
+# manifolds) and ellipsoid-plane support contacts added for the
+# manipulator/stacker/quadruped/humanoid_CMU domains.
+
+def _settle(m, qpos, steps=12, n=50):
+    qvel = jnp.zeros(m.nv, jnp.float32)
+    step = jax.jit(lambda q, v: engine.n_steps(m, q, v, jnp.zeros(m.nu), n))
+    for _ in range(steps):
+        out = step(qpos, qvel)
+        qpos, qvel = out.qpos, out.qvel
+    return np.asarray(qpos), np.asarray(qvel)
+
+
+def test_sphere_rests_on_box():
+    from sgqn_carla_tpu.physics.model import BOX, PLANE, SPHERE, ModelBuilder
+
+    b = ModelBuilder(timestep=0.002)
+    b.add_geom(0, PLANE, size=(5, 5, 0.1), name="floor")
+    b.add_geom(0, BOX, size=(0.5, 0.5, 0.25), pos=(0, 0, 0.25), name="table")
+    ball = b.add_body(0, pos=(0.1, 0.1, 1.2), name="ball")
+    b.add_free_root(ball)
+    b.add_geom(ball, SPHERE, size=(0.1,), name="ball")
+    m = b.finalize()
+    q, v = _settle(m, jnp.zeros(m.nv, jnp.float32))
+    # ball center z = body pos z (1.2) + root z offset; rests at box top + r
+    assert abs((q[2] + 1.2) - 0.6) < 0.02
+    assert np.isfinite(v).all()
+
+
+def test_box_stacks_on_box():
+    from sgqn_carla_tpu.physics.model import BOX, PLANE, ModelBuilder
+
+    b = ModelBuilder(timestep=0.002)
+    b.add_geom(0, PLANE, size=(5, 5, 0.1), name="floor")
+    base = b.add_body(0, pos=(0, 0, 0.1), name="base")
+    b.add_free_root(base)
+    b.add_geom(base, BOX, size=(0.2, 0.2, 0.1), name="base")
+    top = b.add_body(0, pos=(0.05, 0.0, 0.35), name="top")
+    b.add_free_root(top, prefix="top_root")
+    b.add_geom(top, BOX, size=(0.1, 0.1, 0.1), name="top")
+    m = b.finalize()
+    q, v = _settle(m, jnp.zeros(m.nv, jnp.float32), steps=20)
+    top_z = q[m.joint_id("top_root_z")] + 0.35
+    assert 0.27 < top_z < 0.32          # rests on the base box (~0.3)
+    assert abs(q[m.joint_id("top_root_rx")]) < 0.05  # no tipping
+    assert abs(q[m.joint_id("top_root_ry")]) < 0.05
+
+
+def test_ellipsoid_rests_on_plane():
+    from sgqn_carla_tpu.physics.model import ELLIPSOID, PLANE, ModelBuilder
+
+    b = ModelBuilder(timestep=0.002)
+    b.add_geom(0, PLANE, size=(5, 5, 0.1), name="floor")
+    egg = b.add_body(0, pos=(0, 0, 0.6), name="egg")
+    b.add_free_root(egg)
+    b.add_geom(egg, ELLIPSOID, size=(0.3, 0.2, 0.1), name="egg")
+    m = b.finalize()
+    q, v = _settle(m, jnp.zeros(m.nv, jnp.float32))
+    # flat orientation: rests on the z semi-axis (0.1)
+    assert abs((q[2] + 0.6) - 0.1) < 0.02
