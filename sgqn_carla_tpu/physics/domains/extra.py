@@ -76,12 +76,16 @@ def _acrobot(sparse, name):
     b.add_geom(upper, CYLINDER, size=(0.051, 0.06), zaxis=(0, 1, 0), mass=0.0,
                material="decoration", name="shoulder_dec", contype=0,
                conaffinity=0)
+    # arm masses are 1 kg each — acrobot.xml's geom default sets mass="1",
+    # overriding density-derived mass (reference: suite/acrobot.xml:15-16)
     b.add_geom(upper, CAPSULE, size=(0.05,), fromto=(0, 0, 0, 0, 0, 1),
-               material="self", name="upper_arm", contype=0, conaffinity=0)
+               material="self", name="upper_arm", contype=0, conaffinity=0,
+               mass=1.0)
     lower = b.add_body(upper, pos=(0, 0, 1), name="lower_arm")
     b.add_joint(lower, HINGE, axis=(0, 1, 0), damping=0.05, name="elbow")
     b.add_geom(lower, CAPSULE, size=(0.049,), fromto=(0, 0, 0, 0, 0, 1),
-               material="self", name="lower_arm", contype=0, conaffinity=0)
+               material="self", name="lower_arm", contype=0, conaffinity=0,
+               mass=1.0)
     b.add_camera("fixed", pos=(0, -6, 2), zaxis=(0, -1, 0))
     b.add_actuator("elbow", gear=2.0)
     model = b.finalize()
@@ -203,7 +207,10 @@ def _hopper(hopping, name):
     b = ModelBuilder(timestep=0.005, integrator="euler")
     b.add_geom(0, PLANE, size=(50, 1, 0.2), pos=(48, 0, 0), material="grid",
                contype=1, conaffinity=1, name="floor")
-    hop = dict(material="self", contype=1, conaffinity=0)
+    # hopper.xml body geoms keep MuJoCo's contype=1 conaffinity=1 defaults —
+    # self-collisions (torso↔calf/foot when folded) are live in the reference
+    # model, unlike walker.xml which sets conaffinity=0
+    hop = dict(material="self", contype=1, conaffinity=1)
     torso = b.add_body(0, pos=(0, 0, 1), name="torso")
     b.add_joint(torso, SLIDE, axis=(1, 0, 0), name="rootx")
     b.add_joint(torso, SLIDE, axis=(0, 0, 1), name="rootz")

@@ -62,9 +62,11 @@ def make_model(spin: bool):
                material="self", name="cap1")
     b.add_geom(spinner, CAPSULE, size=(0.04, 0.09), pos=(-0.02, 0, 0),
                material="self", name="cap2")
+    # "tip" is a *site* in finger.xml:44 — massless marker, not an inertial
+    # geom; keep it as a zero-mass visual geom here
     b.add_geom(spinner, SPHERE, size=(0.02,), pos=(0, 0, 0.13),
                material="target", name="tip", contype=0, conaffinity=0,
-               rgba=(0.6, 0.3, 0.3, 0.0 if spin else 1.0))
+               mass=0.0, rgba=(0.6, 0.3, 0.3, 0.0 if spin else 1.0))
     b.add_geom(spinner, CYLINDER, size=(0.02, 0.045), zaxis=(0, 1, 0),
                material="decoration", name="spinner_decoration")
     # target site (world; Turn moves it per episode via render_overrides)

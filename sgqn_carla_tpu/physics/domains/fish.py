@@ -67,9 +67,11 @@ def make_model():
     tail1 = b.add_body(torso, pos=(0, -0.09, 0), name="tail1")
     b.add_joint(tail1, HINGE, axis=(0, 0, 1), pos=(0, 0.01, 0),
                 damping=2e-5, name="tail1")
+    # tail_twist declares range ±30° in the XML, but fish.xml:10 disables the
+    # whole constraint solver (<flag constraint="disable"/>) so no limit
+    # force ever applies — keep the joint unlimited for parity
     b.add_joint(tail1, HINGE, axis=(0, 1, 0), pos=(0, 0.01, 0),
-                damping=2e-5, limited=True, range=(_D(-30), _D(30)),
-                name="tail_twist")
+                damping=2e-5, name="tail_twist")
     b.add_geom(tail1, ELLIPSOID, size=(0.001, 0.008, 0.016), material="self",
                name="tail1", contype=0, conaffinity=0)
     tail2 = b.add_body(tail1, pos=(0, -0.028, 0), name="tail2")

@@ -311,12 +311,16 @@ def make_model():
                  ("upperneck", "rclavicle")):
         b.exclude_contact(built[a], built[c])
 
-    # all 56 motors
+    # all 56 motors, in the XML's actuator-section order — alphabetical by
+    # joint name (humanoid_CMU.xml:220-277), NOT kinematic-tree order; the
+    # ctrl vector indexing must match for action-semantics parity
+    act_joints = []
     for name, parent, pos, quat, joints, geoms in _T:
         if joints in ([], "FREE"):
             continue
-        for jname, *_ in joints:
-            b.add_actuator(jname, _gear_for(jname))
+        act_joints.extend(jname for jname, *_ in joints)
+    for jname in sorted(act_joints):
+        b.add_actuator(jname, _gear_for(jname))
 
     b.add_camera("back", pos=(0, 3, 2.4), xyaxes=(-1, 0, 0, 0, -1, 2),
                  mode="trackcom", body=built["root"])

@@ -49,7 +49,9 @@ def _quat_to_mat_np(q):
 
 
 def _euler_deg_to_quat_np(euler):
-    """MuJoCo 'euler' attribute: extrinsic x-y-z rotations, degrees."""
+    """MuJoCo 'euler' attribute, degrees. The compiler default
+    `eulerseq="xyz"` is lowercase = rotations about the *moving* frame
+    (intrinsic), i.e. R = Rx·Ry·Rz ⇒ q = qx ⊗ qy ⊗ qz."""
     def axis_quat(axis, deg):
         a = np.deg2rad(deg) / 2
         q = np.zeros(4)
@@ -71,7 +73,7 @@ def _euler_deg_to_quat_np(euler):
 
     q = np.array([1.0, 0, 0, 0])
     for axis in range(3):
-        q = qmul(axis_quat(axis, euler[axis]), q)
+        q = qmul(q, axis_quat(axis, euler[axis]))
     return q
 
 

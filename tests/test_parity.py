@@ -33,7 +33,9 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 # (domain, task) -> list of (horizon control-steps, max-abs qpos tolerance)
 CASES = {
     ("pendulum", "swingup"): [(100, 1e-4)],
-    ("acrobot", "swingup"): [(10, 0.05), (25, 0.15)],   # chaotic double pend.
+    # tracked to f32 roundoff once the arm masses were fixed to the XML's
+    # explicit mass="1" (was a density-derived 8.4 kg transcription bug)
+    ("acrobot", "swingup"): [(100, 1e-4)],
     ("cartpole", "balance"): [(100, 1e-4)],
     ("cartpole", "swingup"): [(100, 1e-4)],
     ("point_mass", "easy"): [(100, 1e-4)],
@@ -41,7 +43,7 @@ CASES = {
     ("walker", "stand"): [(5, 0.4), (10, 1.2)],
     ("walker", "walk"): [(5, 0.4), (10, 1.2)],
     ("cheetah", "run"): [(10, 0.2), (25, 0.5)],
-    ("hopper", "stand"): [(5, 1e-3), (10, 0.1), (25, 1.2)],
+    ("hopper", "stand"): [(5, 1e-3), (10, 0.1), (25, 0.8)],
     ("finger", "spin"): [(10, 0.05), (25, 0.8)],
     ("ball_in_cup", "catch"): [(10, 1e-3), (25, 0.2)],
     ("swimmer", "swimmer6"): [(10, 1e-3), (50, 0.1)],
