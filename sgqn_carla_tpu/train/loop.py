@@ -219,6 +219,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     # states, obs, and the full replay ring, so a killed run continues
     # bit-identically.
     resume_dir = os.path.join(work_dir, "resume")
+    rewarm_until = -1  # no-update replay rewarm horizon after partial resume
     if cfg.resume:
         last = ckpt.latest_step(resume_dir)
         if last is not None:
@@ -242,6 +243,14 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                     states = shard_env(to_dev(restored["states"]))
                     obs = shard_env(jnp.asarray(restored["obs"]))
                     rstate = shard_env(to_dev(restored["rstate"]))
+                else:
+                    # the replay ring was NOT checkpointed — it is empty now.
+                    # Updating against it immediately would train on garbage
+                    # batches and destroy the restored policy within one
+                    # chunk (observed: walker sgsac reward 380 → 50 in one
+                    # episode). Rewarm: collect with the restored policy,
+                    # no updates, until the ring holds init_steps fresh steps.
+                    rewarm_until = step + max(cfg.init_steps, 0)
                 print(f"Resumed from {resume_dir} at step {step}")
 
     while step < total_steps:
@@ -264,7 +273,8 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                 # reference has no profiler hooks; we bake them in)
                 jax.profiler.start_trace(cfg.profile_dir)
             astate, states, rstate, obs, _, ep_rewards, metrics = (
-                trainer.run_chunk(length, True, astate, states, rstate, obs, k))
+                trainer.run_chunk(length, step >= rewarm_until, astate,
+                                  states, rstate, obs, k))
             if profiling:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready()

@@ -78,6 +78,24 @@ def test_resume_identical_metrics(tmp_path):
     assert rows_full[last]["episode_reward"] == rows_b[last]["episode_reward"]
 
 
+def test_resume_without_replay_rewarm(tmp_path):
+    """Resume when the replay ring was NOT checkpointed: updates must pause
+    until the ring holds init_steps fresh steps, or the restored policy is
+    destroyed by garbage batches (observed on the walker sgsac run: reward
+    380 → 50 in the first post-resume episode)."""
+    cfg_a = _tiny_cfg(tmp_path, train_steps=4, checkpoint_replay=False)
+    run_training(cfg_a)
+    cfg_b = _tiny_cfg(tmp_path, train_steps=8, checkpoint_replay=False)
+    run_training(cfg_b)
+    wd = work_dir_for(cfg_b)
+    rows = {r["step"]: r for l in open(os.path.join(wd, "train.log"))
+            for r in [json.loads(l)]}
+    # resumed at 4; init_steps=2 ⇒ the chunk ending at step 6 is the rewarm
+    # (no update metrics), the chunk ending at 8 updates again
+    assert "critic_loss" not in rows[6]
+    assert "critic_loss" in rows[8]
+
+
 def test_run_training_multichip_mesh(tmp_path):
     """Driver-level 8-device sharded training (round-1 VERDICT missing #1):
     run_training with mesh_data_axis=8 over the virtual CPU mesh."""
