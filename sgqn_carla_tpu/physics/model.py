@@ -584,6 +584,9 @@ class ModelBuilder:
             cameras=cameras,
             joint_names=joint_names,
             body_names=[b.name for b in self.bodies],
+            body_last_link=tuple(
+                body_to_link[bi] for bi in range(len(self.bodies))
+            ),
             com0=com0,
             density=self.density,
             viscosity=self.viscosity,
@@ -646,6 +649,9 @@ class Model:
     cameras: List[CameraSpec]
     joint_names: List[str]
     body_names: List[str]
+    # body index → its last link (multi-joint bodies expand to link chains);
+    # -1 for the world body. Host metadata for name-based lookups (api.py).
+    body_last_link: tuple = ()
     com0: np.ndarray = field(default_factory=lambda: np.zeros(3))
     # contact penalty parameters (spring-damper; see engine.contact_forces)
     act_moment: np.ndarray = None   # (nu, nv) transmission moments
