@@ -118,17 +118,26 @@ def test_compiled_walker_steps_identically():
     m = load_model(os.path.join(SUITE, "walker.xml"))
     h = load("walker", "walk").model
 
+    import jax
+
     qpos = jnp.array(np.linspace(-0.1, 0.1, m.nl), jnp.float32)
     qvel = jnp.zeros(m.nl, jnp.float32)
     ctrl = jnp.array(np.linspace(-0.5, 0.5, m.nu), jnp.float32)
 
-    qm, vm = qpos, qvel
-    qh, vh = qpos, qvel
-    for _ in range(50):
-        om = engine.step(m, qm, vm, ctrl)
-        oh = engine.step(h, qh, vh, ctrl)
-        qm, vm = om.qpos, om.qvel
-        qh, vh = oh.qpos, oh.qvel
+    def roll(model):
+        @jax.jit
+        def run(q, v):
+            def body(carry, _):
+                out = engine.step(model, carry[0], carry[1], ctrl)
+                return (out.qpos, out.qvel), None
+
+            (q, v), _ = jax.lax.scan(body, (q, v), None, length=50)
+            return q, v
+
+        return run(qpos, qvel)
+
+    qm, vm = roll(m)
+    qh, vh = roll(h)
     np.testing.assert_allclose(np.asarray(qm), np.asarray(qh), atol=1e-6)
     np.testing.assert_allclose(np.asarray(vm), np.asarray(vh), atol=1e-5)
 
