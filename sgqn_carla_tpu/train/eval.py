@@ -40,8 +40,13 @@ def main(argv=None):
                         cfg.image_crop_size), (env.action_size,), cfg)
     astate = agent.init_state(jax.random.PRNGKey(cfg.seed))
 
+    # checkpoint selection mirrors the reference: eval.py:86 loads
+    # model_dir/<train_steps>.pt — prefer the checkpoint at --train_steps,
+    # fall back to the latest one
     step = ckpt.latest_step(model_dir)
     assert step is not None, f"no checkpoint under {model_dir}"
+    if os.path.isdir(os.path.join(model_dir, str(cfg.train_steps))):
+        step = cfg.train_steps
     like = {"params": astate.params, "target_params": astate.target_params,
             "log_alpha": astate.log_alpha, "aux_params": astate.aux_params}
     restored = ckpt.restore(model_dir, step, like)
