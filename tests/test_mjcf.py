@@ -94,12 +94,13 @@ def test_compiled_matches_hand_authored(domain, task, xml):
 @pytest.mark.parametrize("domain,task,xml,why", [
     ("manipulator", "bring_ball", "manipulator",
      "XML carries both ball and peg objects + receptacles; each task variant "
-     "uses one (suite/manipulator.py:66-73 prunes via use_peg/insert)"),
+     "uses one (suite/manipulator.py:66-73 prunes via use_peg/insert); the "
+     "hand model names the survivor object_*"),
     ("stacker", "stack_2", "stacker",
      "XML carries 4 boxes; stack_2 uses 2 (suite/stacker.py:48-53 prunes)"),
     ("quadruped", "walk", "quadruped",
-     "hand-authored model omits the 3 force-torque-only toe DoFs per leg and "
-     "lowers the filtered servos; actuator count must still match"),
+     "walk prunes the fetch ball from the XML (suite/quadruped.py pruning), "
+     "exactly as the hand model's walls_and_ball=False"),
 ])
 def test_compiled_structural(domain, task, xml, why):
     m = load_model(os.path.join(SUITE, xml + ".xml"))
@@ -110,6 +111,15 @@ def test_compiled_structural(domain, task, xml, why):
     xml_names = set(m.joint_names)
     for dof in h.act_dof if len(h.act_dof) else []:
         assert h.joint_names[dof] in xml_names
+
+
+def test_quadruped_fetch_matches_full_xml_structure():
+    """quadruped *fetch* keeps the ball — the one task whose model is the
+    un-pruned quadruped.xml; all 28 joints must line up by name."""
+    m = load_model(os.path.join(SUITE, "quadruped.xml"))
+    h = load("quadruped", "fetch").model
+    assert m.joint_names == h.joint_names
+    assert m.nl == h.nl == 28
 
 
 def test_compiled_walker_steps_identically():
