@@ -75,9 +75,7 @@ class Physics:
 
     def __init__(self, model: Model):
         self.model = model
-        self._step_jit = jax.jit(
-            lambda q, v, u: engine.step(model, q, v, u)
-        )
+        self._run_cache = {}  # n → jitted n-substep scan
         self.reset()
 
     # -- constructors (reference: engine.py:379-418) -------------------------
@@ -118,11 +116,25 @@ class Physics:
         self._ctrl = ctrl
 
     def step(self, n: int = 1) -> None:
-        q, v = jnp.asarray(self._qpos), jnp.asarray(self._qvel)
-        u = jnp.asarray(self._ctrl)
-        for _ in range(n):
-            out = self._step_jit(q, v, u)
-            q, v = out.qpos, out.qvel
+        """Advance n substeps as ONE fused jitted scan: the runtime charges a
+        fixed per-dispatch overhead (docs/PERF.md "dispatch-overhead quirk"),
+        so `physics.step(1000)` must not issue 1000 launches."""
+        if n not in self._run_cache:
+            model = self.model
+
+            @jax.jit
+            def run(q, v, u):
+                def body(carry, _):
+                    out = engine.step(model, carry[0], carry[1], u)
+                    return (out.qpos, out.qvel), None
+
+                (q, v), _ = jax.lax.scan(body, (q, v), None, length=n)
+                return q, v
+
+            self._run_cache[n] = run
+        q, v = self._run_cache[n](
+            jnp.asarray(self._qpos), jnp.asarray(self._qvel),
+            jnp.asarray(self._ctrl))
         self._qpos = np.asarray(q)
         self._qvel = np.asarray(v)
 

@@ -66,6 +66,7 @@ from sgqn_carla_tpu.physics.model import (
     SPHERE,
     Model,
     ModelBuilder,
+    _euler_deg_to_quat_np,
     _quat_to_mat_np,
 )
 
@@ -103,13 +104,6 @@ def _deg2rad(x):
     return np.deg2rad(x)
 
 
-def _axis_quat_np(axis: int, rad: float) -> np.ndarray:
-    q = np.zeros(4)
-    q[0] = np.cos(rad / 2)
-    q[1 + axis] = np.sin(rad / 2)
-    return q
-
-
 def _qmul_np(a, b):
     aw, ax, ay, az = a
     bw, bx, by, bz = b
@@ -123,13 +117,9 @@ def _qmul_np(a, b):
     )
 
 
-def _euler_deg_to_quat_intrinsic_xyz(euler_deg) -> np.ndarray:
-    """MuJoCo `eulerseq="xyz"` (compiler default): rotations about the
-    *moving* frame axes, i.e. R = Rx·Ry·Rz, q = qx ⊗ qy ⊗ qz."""
-    q = np.array([1.0, 0, 0, 0])
-    for axis in range(3):
-        q = _qmul_np(q, _axis_quat_np(axis, np.deg2rad(euler_deg[axis])))
-    return q
+# MuJoCo `eulerseq="xyz"` (compiler default) — one shared implementation with
+# the hand-authored builder path so the conventions can never desynchronize
+_euler_deg_to_quat_intrinsic_xyz = _euler_deg_to_quat_np
 
 
 # ---------------------------------------------------------------------------
@@ -140,7 +130,6 @@ def _euler_deg_to_quat_intrinsic_xyz(euler_deg) -> np.ndarray:
 def _splice_includes(elem: ET.Element, base_dir: Optional[str]) -> None:
     """Replace every `<include file=…>` child with the included file's
     top-level children, recursively (MuJoCo include semantics)."""
-    i = 0
     children = list(elem)
     for child in children:
         elem.remove(child)
@@ -154,11 +143,9 @@ def _splice_includes(elem: ET.Element, base_dir: Optional[str]) -> None:
             _splice_includes(inc_root, os.path.dirname(path))
             for sub in list(inc_root):
                 elem.append(sub)
-                i += 1
         else:
             _splice_includes(child, base_dir)
             elem.append(child)
-            i += 1
 
 
 def _collect_defaults(
@@ -267,12 +254,19 @@ def _lower_geom(b: ModelBuilder, ctx: _Ctx, body: int, elem: ET.Element,
         mass = float(a["mass"])
     elif "density" in a and gtype != PLANE:
         # lower per-geom density to an explicit mass: scale the builder's
-        # default-density mass by density/1000
+        # default-density mass by density/1000. The effective size must
+        # account for `fromto` (capsule/cylinder half-length comes from the
+        # endpoint distance, exactly as ModelBuilder.add_geom derives it) —
+        # manipulator/stacker/quadruped set a default density=500 on fromto
+        # capsules.
         from sgqn_carla_tpu.physics.model import _geom_mass_com_inertia
 
-        sz = np.broadcast_to(size, (3,)) if size.ndim == 0 else np.concatenate(
-            [size, np.zeros(max(0, 3 - size.shape[0]))]
-        )
+        sz = np.broadcast_to(size, (3,)).astype(np.float64) if size.ndim == 0 \
+            else np.concatenate([size, np.zeros(max(0, 3 - size.shape[0]))])
+        if "fromto" in a:
+            ft = _floats(a["fromto"])
+            hl = np.linalg.norm(ft[3:] - ft[:3]) / 2
+            sz = np.array([sz[0], hl, 0.0])
         m0, _, _ = _geom_mass_com_inertia(
             gtype, sz, np.zeros(3), np.array([1.0, 0, 0, 0])
         )

@@ -45,7 +45,10 @@ def main(argv=None):
     # fall back to the latest one
     step = ckpt.latest_step(model_dir)
     assert step is not None, f"no checkpoint under {model_dir}"
-    if os.path.isdir(os.path.join(model_dir, str(cfg.train_steps))):
+    # both checkpoint layouts: orbax step directory, or the dependency-free
+    # numpy fallback's <step>.npz file (core/checkpoint.py:48)
+    wanted = os.path.join(model_dir, str(cfg.train_steps))
+    if os.path.isdir(wanted) or os.path.isfile(wanted + ".npz"):
         step = cfg.train_steps
     like = {"params": astate.params, "target_params": astate.target_params,
             "log_alpha": astate.log_alpha, "aux_params": astate.aux_params}
