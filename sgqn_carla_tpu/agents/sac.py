@@ -222,7 +222,12 @@ class SAC:
             pi = mu + noise * jnp.exp(log_std)
             log_pi = nets.gaussian_logprob(noise, log_std)
             mu_s, pi_s, log_pi = nets.squash(mu, pi, log_pi)
-            q1, q2 = self.critic_forward(state.params, obs, pi_s, detach=True)
+            # reuse the detached trunk features computed above instead of
+            # re-running the trunk inside the loss (critic_forward(detach=True)
+            # would trace a second, identical trunk forward; reference
+            # sac.py:137-140 likewise reuses detached encoder output)
+            q1, q2 = self.critic_def.apply(
+                {"params": state.params["critic"]}, feats, pi_s)
             q = jnp.minimum(q1, q2)
             alpha = jnp.exp(jax.lax.stop_gradient(state.log_alpha))
             loss = jnp.mean(alpha * log_pi - q)

@@ -45,7 +45,9 @@ class SGSAC(SAC):
                             + self.cfg.num_head_layers)
         self.decoder_def = nets.AttributionDecoder(
             self.action_dim, self.cfg.projection_dim, spatial=max(spatial, 1),
-            out_channels=self.obs_shape[0], out_size=self.obs_shape[-1])
+            out_channels=self.obs_shape[0], out_size=self.obs_shape[-1],
+            dtype=(jnp.bfloat16 if self.cfg.precision == "bf16"
+                   else jnp.float32))
         self.aux_tx = optax.adam(self.cfg.aux_lr, b1=self.cfg.aux_beta,
                                  b2=0.999)
 

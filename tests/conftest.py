@@ -26,8 +26,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the scalarized physics programs are large;
 # caching makes repeat suite runs fast
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache_cpu")
+_cache = os.environ.get("SGQN_TEST_CACHE_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
