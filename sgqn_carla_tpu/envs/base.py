@@ -161,9 +161,12 @@ class DMCPixelEnv:
             background = frame
             if self.mode == "video_hard":
                 bg_mats = ("grid",)
+        hfield = (state.phys.task_aux["terrain"]
+                  if self.task.model.hfield_geom >= 0 else None)
         rgb, _, _ = render_scene(
             self.task.model, Rg, pg, state.appearance, cam, h, w,
             background=background, bg_mask_materials=bg_mats,
+            hfield=hfield,
         )
         return jnp.transpose(rgb, (2, 0, 1))  # CHW, reference obs layout
 

@@ -600,6 +600,68 @@ def contact_wrenches_batched(model: Model, kin):
     return F_pad[:model.nl], pf
 
 
+def hfield_wrenches(model: Model, kin, terrain):
+    """((nl, 6) wrenches, (n_hfield_pairs,) normal magnitudes) from the
+    per-episode heightfield terrain grid (physics/hfield.py).
+
+    Narrow phase: each colliding geom's static sample-point spheres
+    (model.hfield_pairs, built at compile) against the bilinear surface —
+    the smooth-penalty analogue of MuJoCo's prism decomposition for
+    `<geom type="hfield">` (reference: suite/quadruped.xml:84). Gains use
+    the same inertia-scaled soft-constraint law as the regular pairs
+    (engine.constraint_scales), with the static-world gravity feed-forward."""
+    from sgqn_carla_tpu.physics import engine as eng
+    from sgqn_carla_tpu.physics import hfield as hf
+
+    gh = model.geoms[model.hfield_geom]
+    half = float(gh.size[0])
+    z0 = float(gh.pos[2])
+    Rg, pg = eng.geom_world(model, kin)
+    k0, b0, imp = eng._soft_gains(model)
+    m_eff, _ = eng.constraint_scales(model)
+    m_h = np.asarray(m_eff[-len(model.hfield_pairs):])
+    gvec = jnp.asarray(model.gravity, _f)
+
+    xs, rad, links, rows, mus = [], [], [], [], []
+    for h_i, (gid, pts) in enumerate(model.hfield_pairs):
+        g = model.geoms[gid]
+        for lp, r in pts:
+            x = pg[gid] + Rg[gid] @ jnp.asarray(lp, _f)
+            xs.append(x)
+            rad.append(r)
+            links.append(g.link)
+            rows.append(h_i)
+            mus.append(g.friction)
+    X = jnp.stack(xs)                                   # (K, 3)
+    rad = jnp.asarray(rad, _f)
+    rows_j = jnp.asarray(rows)
+    links_j = jnp.asarray(links)
+    mu = jnp.asarray(mus, _f)
+
+    h, n = hf.sample(terrain, X[:, 0], X[:, 1], half, z0)
+    nvec = jnp.stack(n, -1)                             # (K, 3)
+    # vertical penetration of each sample sphere, projected on the normal
+    depth = (h - (X[:, 2] - rad)) * nvec[:, 2]
+    kp = jnp.asarray(imp * m_h * k0, _f)[rows_j]
+    kd = jnp.asarray(imp * m_h * b0, _f)[rows_j]
+    ka = jnp.asarray(imp * m_h, _f)[rows_j]
+    v_pad = jnp.concatenate([kin.v, jnp.zeros((1, 6), _f)], 0)
+    w_a, v_a = v_pad[links_j, :3], v_pad[links_j, 3:]
+    v_rel = jnp.cross(w_a, X) + v_a
+    vn = jnp.sum(v_rel * nvec, -1)
+    active = (depth > 0).astype(_f)
+    fn = kp * depth - kd * vn - ka * jnp.sum(gvec * nvec, -1)
+    fn = jnp.maximum(fn, 0.0) * active
+    vt = v_rel - nvec * vn[:, None]
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1)) + 1e-6
+    ft_scale = -mu * fn * jnp.tanh(vt_norm / 0.01) / vt_norm
+    f3 = nvec * fn[:, None] + vt * ft_scale[:, None]
+    wr = jnp.concatenate([jnp.cross(X, f3), f3], -1)
+    F = jnp.zeros((model.nl, 6), _f).at[links_j].add(wr)
+    pf = jnp.zeros((len(model.hfield_pairs),), _f).at[rows_j].add(fn)
+    return F, pf
+
+
 def penetration_depths_batched(model: Model, qpos) -> jnp.ndarray:
     """All contact depths at `qpos` (batched max_penetration backend)."""
     from sgqn_carla_tpu.physics import engine as eng
@@ -646,9 +708,10 @@ def tendon_wrenches(model: Model, kin) -> jnp.ndarray:
     return F
 
 
-def forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
+def forward_dynamics(model: Model, qpos, qvel, ctrl, anc, hfield=None):
     """qacc + per-pair contact normal forces — dense-path twin of
-    `engine._forward_dynamics`."""
+    `engine._forward_dynamics`. For models with an HFIELD geom, `hfield`
+    is the per-episode terrain grid; its forces append after the pairs."""
     from jax.scipy.linalg import cho_factor, cho_solve
 
     from sgqn_carla_tpu.physics import engine as eng
@@ -673,6 +736,15 @@ def forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
         any_wrench = True
     else:
         pair_f = jnp.zeros((0,), _f)
+    if model.hfield_pairs:
+        if hfield is None:
+            raise ValueError(
+                "model has an hfield geom: pass the terrain grid via "
+                "engine.step/n_steps(..., hfield=...)")
+        Fh, pf_h = hfield_wrenches(model, kin, hfield)
+        F = F + Fh
+        pair_f = jnp.concatenate([pair_f, pf_h])
+        any_wrench = True
     if any_wrench:
         tau = tau + project_wrenches(kin, anc_f, F)
     rhs = tau - C

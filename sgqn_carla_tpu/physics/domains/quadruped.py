@@ -24,10 +24,13 @@ The reference's equality-constrained coupling tendons
 Lagrangian constraint.
 
 Documented approximations:
-  * escape: the procedurally generated heightfield bowl
-    (suite/quadruped.py:362-423) is rendered flat — the engine has no
-    heightfield geom; the escape reward (distance from origin) and the
-    rangefinder observations (analytic floor-plane ray casts) are kept.
+  * escape: the per-episode procedural bowl heightfield
+    (suite/quadruped.py:362-423) is real — generated in init_fn, contacted
+    through sample-point spheres vs the bilinear surface, rangefinders
+    ray-march it, and the renderer traces it (physics/hfield.py). The
+    remaining approximations: scipy's spline zoom of the bump noise is
+    jax.image.resize cubic, and contacts are smooth penalties (as
+    everywhere in this engine), not MuJoCo's prism-decomposition LCP.
   * fetch: ball↔torso contact uses an invisible collision sphere instead
     of the torso ellipsoid (engine has no ellipsoid contact pair).
   * force/torque toe sensors report the contact normal-force magnitude on
@@ -40,12 +43,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sgqn_carla_tpu.physics import engine, rewards
+from sgqn_carla_tpu.physics import engine, hfield as hf, rewards
 from sgqn_carla_tpu.physics.domains import register
 from sgqn_carla_tpu.physics.engine import forward_kinematics, geom_world
 from sgqn_carla_tpu.physics.math3d import quat_to_euler_xyz
 from sgqn_carla_tpu.physics.model import (
-    CAPSULE, CYLINDER, ELLIPSOID, HINGE, PLANE, SPHERE, ModelBuilder,
+    CAPSULE, CYLINDER, ELLIPSOID, HFIELD, HINGE, PLANE, SPHERE, ModelBuilder,
 )
 from sgqn_carla_tpu.physics.task import PhysState, Task
 
@@ -70,10 +73,21 @@ def _capsule_mass(r, hl, density):
     return density * (np.pi * r * r * (2 * hl) + 4.0 / 3.0 * np.pi * r ** 3)
 
 
-def make_model(floor_size=10.0, walls_and_ball=False):
+def make_model(floor_size=10.0, walls_and_ball=False, terrain=False):
     b = ModelBuilder(timestep=0.005, integrator="euler")
     b.add_geom(0, PLANE, size=(floor_size, floor_size, 0.5), material="grid",
                name="floor", friction=1.0, conaffinity=25, contype=25)
+    if terrain:
+        # procedural heightfield bowl (escape; quadruped.xml:13,84
+        # `<hfield ncol=201 nrow=201 size="30 30 5 .1"/>`). The elevation
+        # grid is per-episode state (physics/hfield.py), generated in
+        # init_fn and threaded through step/render.
+        b.add_geom(0, HFIELD,
+                   size=(hf.TERRAIN_HALF, hf.TERRAIN_HALF, hf.TERRAIN_ZMAX,
+                         0.1),
+                   pos=(0, 0, hf.TERRAIN_Z0), rgba=(0.2, 0.3, 0.4, 1.0),
+                   material="decoration", name="terrain", friction=1.0,
+                   conaffinity=25, contype=25)
     if walls_and_ball:
         fs = 15.0
         for name, pos, zaxis in (
@@ -226,17 +240,18 @@ def _map_ctrl(model, action):
     return lo + (a + 1.0) * 0.5 * (hi - lo)
 
 
-def _make_step_fn(torso_link):
+def _make_step_fn(torso_link, use_hfield=False):
     def step_fn(model, n_sub_steps, state, action):
         ctrl = _map_ctrl(model, action)
         aux = dict(state.task_aux)
         act = aux["act"]
+        terrain = aux["terrain"] if use_hfield else None
         qpos, qvel, cf = state.qpos, state.qvel, state.contact_force
         dt = model.timestep
         for _ in range(n_sub_steps):
             # dyntype=filter: acṫ = (ctrl − act)/τ (exact exponential step)
             act = act + (ctrl - act) * (1.0 - jnp.exp(-dt / _FILTER_TAU))
-            out = engine.n_steps(model, qpos, qvel, act, 1)
+            out = engine.n_steps(model, qpos, qvel, act, 1, hfield=terrain)
             qpos, qvel, cf = out.qpos, out.qvel, out.contact_force
         # finite-difference torso velocity for the accelerometer
         kin = forward_kinematics(model, qpos, qvel)
@@ -290,7 +305,12 @@ def _common_obs(model, state, torso_link, hinge, toe_rows):
     gyro = R.T @ w
     g = jnp.asarray(model.gravity, jnp.float32)
     accel = R.T @ (state.task_aux["accel_w"] - g)
+    # toe_rows: (4,) pair rows, or (4, m) rows summed per toe (escape sums
+    # the floor-pair and terrain rows — MuJoCo's force sensor reads the
+    # total contact wrench on the toe body regardless of surface)
     fn = state.contact_force[jnp.asarray(toe_rows)]
+    if fn.ndim == 2:
+        fn = fn.sum(-1)
     ft = jnp.concatenate([
         jnp.stack([jnp.zeros_like(fn), jnp.zeros_like(fn),
                    jnp.arcsinh(fn)], -1).reshape(-1),
@@ -356,30 +376,52 @@ _RF_TO = np.array([[0.34 + 0.02 * r, 0.0, 0.115 - 0.005 * r]
 
 
 def _make_escape():
-    model = make_model(floor_size=40.0)
+    model = make_model(floor_size=40.0, terrain=True)
     torso_link = model.joint_id("root_rz")
     hinge = _hinge_dofs(model)
-    toe_rows = _toe_pair_rows(model)
-    terrain_size = 40.0
+    npair = len(model.contact_pairs)
+    # per-toe force rows: floor pair + terrain row (summed in _common_obs)
+    floor_rows = _toe_pair_rows(model)
+    toe_hrows = []
+    for leg in _LEGS:
+        toe = next(i for i, g in enumerate(model.geoms)
+                   if g.name == f"toe_{leg}")
+        h_i = next(k for k, (gid, _) in enumerate(model.hfield_pairs)
+                   if gid == toe)
+        toe_hrows.append(npair + h_i)
+    toe_rows = np.stack([np.asarray(floor_rows), np.asarray(toe_hrows)], -1)
+    # reward bound = hfield x half-extent, NOT the 40 m floor
+    # (reference: quadruped.py:415 terrain_size = hfield_size[_ID, 0] = 30)
+    terrain_size = hf.TERRAIN_HALF
     rf_dir = _RF_TO - _RF_FROM
     rf_dir = rf_dir / np.linalg.norm(rf_dir, axis=1, keepdims=True)
+    n_cf = npair + len(model.hfield_pairs)
 
     def init_fn(model, rng):
-        return PhysState(_base_init(model, rng),
-                         jnp.zeros(model.nv, jnp.float32),
-                         jnp.zeros((len(model.contact_pairs),), jnp.float32),
-                         task_aux=_init_aux(model))
+        k_base, k_terrain = jax.random.split(rng)
+        terrain = hf.generate_terrain(k_terrain)
+        qpos = _base_init(model, rng=k_base)
+        # spawn on the terrain surface at the origin (the reference raises
+        # z until free of the heightfield, quadruped.py:253-282,400-404)
+        h0, _ = hf.sample(terrain, qpos[0], qpos[1])
+        qpos = qpos.at[2].add(h0)
+        return PhysState(qpos, jnp.zeros(model.nv, jnp.float32),
+                         jnp.zeros((n_cf,), jnp.float32),
+                         task_aux=_init_aux(model, {"terrain": terrain}))
 
     def observe_fn(model, state):
         kin, obs = _common_obs(model, state, torso_link, hinge, toe_rows)
         R, p = kin.R[torso_link], kin.p[torso_link]
         obs["origin"] = -(R.T @ p)
-        # rangefinders: analytic ray vs the (flat) floor plane z=0
+        # rangefinders: ray-march the terrain surface (physics/hfield.py);
+        # tanh scaling per the reference Physics.rangefinder
+        # (quadruped.py:206-211)
         o_w = p[None, :] + (R @ jnp.asarray(_RF_FROM.T, jnp.float32)).T
         d_w = (R @ jnp.asarray(rf_dir.T, jnp.float32)).T
-        t = -o_w[:, 2] / jnp.where(jnp.abs(d_w[:, 2]) < 1e-6, -1e-6,
-                                   d_w[:, 2])
-        hit = (t > 0) & (d_w[:, 2] < 0)
+        t, _, hit = hf.raycast(
+            state.task_aux["terrain"],
+            (o_w[:, 0], o_w[:, 1], o_w[:, 2]),
+            (d_w[:, 0], d_w[:, 1], d_w[:, 2]), tmax=4.0)
         obs["rangefinder"] = jnp.where(hit, jnp.tanh(t), 1.0)
         return obs
 
@@ -397,7 +439,7 @@ def _make_escape():
                 n_sub_steps=int(round(_CONTROL_TIMESTEP / model.timestep)),
                 init_fn=init_fn, observe_fn=observe_fn, reward_fn=reward_fn,
                 camera_id=0, time_limit=_DEFAULT_TIME_LIMIT,
-                step_fn=_make_step_fn(torso_link))
+                step_fn=_make_step_fn(torso_link, use_hfield=True))
 
 
 def _make_fetch():

@@ -719,6 +719,17 @@ def constraint_scales(model: Model):
         # read as near-infinite inertia and get explosive gains; no contact
         # can see more than the whole mechanism's mass
         m_eff[p_i] = min(1.0 / max(mob, 1e-8), cap)
+    # hfield pairs: appended after the regular rows, normal ≈ +z (terrain
+    # slopes stay under 45°; the vertical mobility is the right scale)
+    if model.hfield_pairs:
+        m_h = np.zeros(len(model.hfield_pairs))
+        up = np.array([0.0, 0.0, 1.0])
+        for h_i, (gid, _pts) in enumerate(model.hfield_pairs):
+            x = pg[int(gid)]
+            J = point_jac(model.geoms[int(gid)].link, x)
+            A = J @ Minv @ J.T
+            m_h[h_i] = min(1.0 / max(float(up @ A @ up), 1e-8), cap)
+        m_eff = np.concatenate([m_eff, m_h])
     dof_m = 1.0 / np.maximum(np.diag(Minv), 1e-12)
     _SCALES_CACHE[key] = (model, m_eff, dof_m)
     return m_eff, dof_m
@@ -921,7 +932,10 @@ def applied_taus(model: Model, qpos, qvel, ctrl):
     return tau_vec + limit_taus(model, qpos, qvel)
 
 
-def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc):
+def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc, hfield=None):
+    assert hfield is None, (
+        "heightfield contacts are implemented on the dense path only "
+        "(quadruped-class models dispatch there by nl; see dense.py)")
     kin = forward_kinematics(model, qpos, qvel)
     M = _mass_matrix_soa(model, kin)
     C = _bias_forces_soa(model, kin, qvel)
@@ -975,13 +989,15 @@ def max_penetration(model: Model, qpos) -> jnp.ndarray:
     return jnp.max(jnp.stack(depths))
 
 
-def step(model: Model, qpos, qvel, ctrl) -> StepOut:
+def step(model: Model, qpos, qvel, ctrl, hfield=None) -> StepOut:
     """One physics substep of `model.timestep` seconds.
 
     Dynamics backend dispatch: the scalar-SoA path below for small trees,
     the dense matmul path (`physics/dense.py`) for nl ≥ dense.DENSE_NL —
     identical physics, bounded compile time (humanoid/swimmer15-class
-    models)."""
+    models). `hfield` is the per-episode terrain elevation grid for models
+    with an HFIELD geom (physics/hfield.py); its contact forces are
+    appended to `contact_force` after the regular pairs."""
     from sgqn_carla_tpu.physics import dense
 
     fwd = (dense.forward_dynamics if model.nl >= dense.DENSE_NL
@@ -992,7 +1008,7 @@ def step(model: Model, qpos, qvel, ctrl) -> StepOut:
     qvel = qvel.astype(jnp.float32)
     if model.integrator == "rk4":
         def fdyn(q, qd):
-            qacc, pf = fwd(model, q, qd, ctrl, anc)
+            qacc, pf = fwd(model, q, qd, ctrl, anc, hfield)
             return qd, qacc, pf
 
         k1v, k1a, pf = fdyn(qpos, qvel)
@@ -1002,19 +1018,19 @@ def step(model: Model, qpos, qvel, ctrl) -> StepOut:
         qpos_n = qpos + h / 6 * (k1v + 2 * k2v + 2 * k3v + k4v)
         qvel_n = qvel + h / 6 * (k1a + 2 * k2a + 2 * k3a + k4a)
     else:  # semi-implicit Euler (MuJoCo default)
-        qacc, pf = fwd(model, qpos, qvel, ctrl, anc)
+        qacc, pf = fwd(model, qpos, qvel, ctrl, anc, hfield)
         qvel_n = qvel + h * qacc
         qpos_n = qpos + h * qvel_n
     return StepOut(qpos_n, qvel_n, pf)
 
 
-def n_steps(model: Model, qpos, qvel, ctrl, n: int) -> StepOut:
+def n_steps(model: Model, qpos, qvel, ctrl, n: int, hfield=None) -> StepOut:
     """`n` substeps under one held control (dm_control's n_sub_steps,
     reference: rl/control.py:102-111). Uses lax.scan: one compiled body."""
 
     def body(carry, _):
         q, qd = carry
-        out = step(model, q, qd, ctrl)
+        out = step(model, q, qd, ctrl, hfield)
         return (out.qpos, out.qvel), out.contact_force
 
     (q, qd), pf = jax.lax.scan(body, (qpos, qvel), None, length=n)

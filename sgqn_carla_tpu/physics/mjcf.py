@@ -38,8 +38,8 @@ Supported MJCF subset (everything the 18 suite XMLs use):
     (penalty form of MuJoCo's soft equality — same approximation the
     hand-authored manipulator/stacker/quadruped domains use),
   * `<geom type="hfield">` lowered to a plane (the quadruped terrain is flat
-    except in `escape`, whose procedural heightfield the hand-authored domain
-    models separately).
+    except in `escape`; the hand-authored escape domain builds the real
+    per-episode heightfield via physics/hfield.py + model.hfield_pairs).
 
 Ignored (no dynamics effect in the penalty engine, or visual-only):
 solref/solimp/condim/priority/cone/iterations, lights, `<statistic>`,

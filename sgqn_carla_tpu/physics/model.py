@@ -30,7 +30,7 @@ import numpy as np
 from sgqn_carla_tpu.physics.math3d import zaxis_to_quat_np
 
 # geom types
-PLANE, SPHERE, CAPSULE, BOX, CYLINDER, ELLIPSOID = 0, 1, 2, 3, 4, 5
+PLANE, SPHERE, CAPSULE, BOX, CYLINDER, ELLIPSOID, HFIELD = 0, 1, 2, 3, 4, 5, 6
 # joint types
 HINGE, SLIDE = 0, 1
 
@@ -497,6 +497,8 @@ class ModelBuilder:
         for i in range(len(geoms)):
             for j in range(i + 1, len(geoms)):
                 gi, gj = geoms[i], geoms[j]
+                if HFIELD in (gi.gtype, gj.gtype):
+                    continue  # hfield narrow phase is separate (below)
                 compat = (gi.contype & gj.conaffinity) or (gj.contype & gi.conaffinity)
                 if not compat:
                     continue
@@ -512,6 +514,36 @@ class ModelBuilder:
                 if lj >= 0 and li >= 0 and link_parent[lj] == li:
                     continue
                 pairs.append((i, j))
+
+        # hfield narrow phase: sample-point spheres per colliding geom
+        # (smooth-penalty analogue of MuJoCo's prism decomposition; the
+        # terrain grid itself is per-episode dynamic data threaded through
+        # engine.step(..., hfield=...) — see physics/hfield.py)
+        hfield_geom = next(
+            (i for i, g in enumerate(geoms) if g.gtype == HFIELD), -1)
+        hfield_pairs = []
+        if hfield_geom >= 0:
+            gh = geoms[hfield_geom]
+            for i, g in enumerate(geoms):
+                if g.gtype == HFIELD or g.link < 0:
+                    continue
+                compat = (g.contype & gh.conaffinity) or (
+                    gh.contype & g.conaffinity)
+                if not compat:
+                    continue
+                r = float(g.size[0])
+                if g.gtype == SPHERE:
+                    pts = (((0.0, 0.0, 0.0), r),)
+                elif g.gtype in (CAPSULE, CYLINDER):
+                    hl = float(g.size[1])
+                    pts = (((0.0, 0.0, -hl), r), ((0.0, 0.0, 0.0), r),
+                           ((0.0, 0.0, hl), r))
+                elif g.gtype == ELLIPSOID:
+                    pts = (((0.0, 0.0, 0.0), float(min(g.size))),)
+                else:
+                    raise NotImplementedError(
+                        f"hfield contact vs gtype {g.gtype}")
+                hfield_pairs.append((i, pts))
 
         # world link poses at qpos0 (joint transforms are identity there)
         R0 = np.zeros((nl, 3, 3))
@@ -590,6 +622,8 @@ class ModelBuilder:
             com0=com0,
             density=self.density,
             viscosity=self.viscosity,
+            hfield_geom=hfield_geom,
+            hfield_pairs=tuple(hfield_pairs),
         )
         return model
 
@@ -667,6 +701,13 @@ class Model:
     contact_damping: float = 200.0
     limit_stiffness: float = 300.0
     limit_damping: float = 2.0
+    # heightfield terrain (quadruped escape): geom index of the HFIELD geom
+    # (size = (half_x, half_y, z_scale, z_base), pos z = base offset) and the
+    # static sample-point decomposition of every geom that collides with it:
+    # ((geom_id, ((local_pt3, radius), ...)), ...). The elevation grid itself
+    # is per-episode data (PhysState.task_aux), not part of the Model.
+    hfield_geom: int = -1
+    hfield_pairs: tuple = ()
 
     @property
     def nv(self) -> int:

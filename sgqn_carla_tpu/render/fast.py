@@ -75,6 +75,7 @@ def render_scene_fast(
     background: Optional[jnp.ndarray] = None,
     bg_mask_materials: Tuple[str, ...] = (),
     material_color_fns: Optional[dict] = None,
+    hfield: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for `raster.render_scene` (same signature)."""
     f = jnp.float32
@@ -128,6 +129,16 @@ def render_scene_fast(
         n_min = v3.where(closer, n, n_min)
         c_min = v3.where(closer, col, c_min)
         seg = jnp.where(closer, i, seg)
+
+    # ---------------- heightfield terrain (escape): ray-march pass
+    if hfield is not None and model.hfield_geom >= 0:
+        t, n = raster._trace_hfield(model, hfield, o, d)
+        base = app.geom_rgba[model.hfield_geom]
+        closer = t < t_min
+        t_min = jnp.where(closer, t, t_min)
+        n_min = v3.where(closer, n, n_min)
+        c_min = v3.where(closer, (base[0], base[1], base[2]), c_min)
+        seg = jnp.where(closer, model.hfield_geom, seg)
 
     # ---------------- grouped capsules/cylinders: hit distances only
     if cap_ids:

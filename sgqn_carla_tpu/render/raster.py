@@ -270,6 +270,35 @@ def _trace_geom(g, o, d, p0, ex, ey, ez, col, plane_color_fn=None):
     return t, n, col
 
 
+def _trace_hfield(model: Model, hfield, o, d):
+    """Closest hit of rays against the heightfield terrain: slab-clip to
+    the terrain AABB, then fixed-step ray march + bisection
+    (physics/hfield.py). Returns (t with _INF misses, normal)."""
+    from sgqn_carla_tpu.physics import hfield as hf
+
+    g = model.geoms[model.hfield_geom]
+    half = float(g.size[0])
+    z0 = float(g.pos[2])
+    zmax = z0 + float(g.size[2]) + 0.01
+    t_lo = jnp.zeros_like(d[0])
+    t_hi = jnp.full_like(d[0], 4.0 * half)
+    for oc, dc, lo, hi in ((o[0], d[0], -half, half),
+                           (o[1], d[1], -half, half),
+                           (o[2], d[2], z0 - 0.2, zmax)):
+        inv = 1.0 / jnp.where(jnp.abs(dc) < 1e-9, 1e-9, dc)
+        ta = (lo - oc) * inv
+        tb = (hi - oc) * inv
+        t_lo = jnp.maximum(t_lo, jnp.minimum(ta, tb))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(ta, tb))
+    valid = t_hi > jnp.maximum(t_lo, 0.0)
+    t_lo = jnp.maximum(t_lo, 1e-4)
+    t, n, hit = hf.raycast_segment(
+        hfield, o, d, t_lo, jnp.maximum(t_hi, t_lo + 1e-3),
+        half=half, z0=z0)
+    t = jnp.where(hit & valid, t, _INF)
+    return t, n
+
+
 def render_scene(
     model: Model,
     Rg: jnp.ndarray,          # (ngeom, 3, 3) world geom rotations
@@ -281,6 +310,7 @@ def render_scene(
     background: Optional[jnp.ndarray] = None,  # (H, W, 3) float [0,1]
     bg_mask_materials: Tuple[str, ...] = (),
     material_color_fns: Optional[dict] = None,  # name → fn(lx, ly, world_v3)
+    hfield: Optional[jnp.ndarray] = None,  # per-episode terrain grid
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Trace the scene. Returns (rgb uint8 (H,W,3), depth f32 (H,W),
     seg int32 (H,W); seg = closest geom index, -1 for sky).
@@ -336,6 +366,15 @@ def render_scene(
         n_min = v3.where(closer, n if isinstance(n, tuple) else n, n_min)
         c_min = v3.where(closer, col, c_min)
         seg = jnp.where(closer, i, seg)
+
+    if hfield is not None and model.hfield_geom >= 0:
+        t, n = _trace_hfield(model, hfield, o, d)
+        base = app.geom_rgba[model.hfield_geom]
+        closer = t < t_min
+        t_min = jnp.where(closer, t, t_min)
+        n_min = v3.where(closer, n, n_min)
+        c_min = v3.where(closer, (base[0], base[1], base[2]), c_min)
+        seg = jnp.where(closer, model.hfield_geom, seg)
 
     hit = t_min < _INF * 0.5
 
