@@ -153,6 +153,14 @@ class Config:
     checkpoint_replay: bool = False  # include env states + the full replay
                                  # ring in resume checkpoints (bit-identical
                                  # continuation; costs disk ∝ replay_capacity)
+    guard_collapse: float = 0.0  # >0 → failure detection + elastic recovery
+                                 # (SURVEY §5: the reference has neither): if a
+                                 # chunk's mean episode reward falls below this
+                                 # fraction of the best reward EMA, the trainer
+                                 # rolls back to the latest resume checkpoint
+                                 # with jittered RNG. Positive-reward tasks only
+                                 # (the trigger requires best EMA > 0).
+    guard_max_rollbacks: int = 3  # rollback budget before the guard disarms
     replay_capacity: int = 0     # 0 → derived: min(train_steps, 100_000).
                                  # Deliberate HBM-driven divergence: the reference
                                  # allocates capacity=train_steps (600k) of host RAM

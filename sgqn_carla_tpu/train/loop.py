@@ -211,6 +211,20 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     next_save = cfg.save_freq
     next_viz = 10_000
 
+    # ---- failure detection + elastic recovery (SURVEY §5: the reference
+    # has neither). A late-training Q-divergence event can knock a
+    # near-optimal policy over in one chunk with no recourse (observed on
+    # walker sgsac at num_envs=16: reward 888 → 35, docs/PERF.md); with
+    # guard_collapse > 0 the trainer detects the cliff and rolls back to
+    # the latest resume checkpoint with jittered RNG so the replayed
+    # segment diverges. SGQN_FAULT_INJECT_COLLAPSE=<step> fakes one
+    # collapsed chunk at <step> (fault-injection hook for tests).
+    reward_ema = None
+    best_ema = 0.0
+    rollbacks = 0
+    _fault = os.environ.get("SGQN_FAULT_INJECT_COLLAPSE")
+    fault_at = int(_fault) if _fault else None
+
     # ---- true resume (reference CANNOT: train.py:135-137 asserts the work
     # dir does not exist; optimizer/rng/replay never persisted — SURVEY §5).
     # The resume checkpoint snapshots the loop state exactly at the top of
@@ -299,6 +313,56 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         states, obs = shard_env(states), shard_env(obs)
         rstate = add_reset_fn(rstate, obs)
 
+        # ---- collapse guard: detect the cliff, roll back, jitter, continue
+        if fault_at is not None and step >= fault_at:
+            ep_reward, fault_at = 0.0, None  # injected fault (tests)
+        reward_ema = (ep_reward if reward_ema is None
+                      else 0.9 * reward_ema + 0.1 * ep_reward)
+        best_ema = max(best_ema, reward_ema)
+        if (cfg.guard_collapse > 0.0 and caught_up
+                and rollbacks < cfg.guard_max_rollbacks and best_ema > 0.0
+                and ep_reward < cfg.guard_collapse * best_ema):
+            last = ckpt.latest_step(resume_dir)
+            if last is not None and last < step:
+                full_like = {"astate": astate, "rng": rng, "episode": 0,
+                             "caught_up": False, "next_eval": 0,
+                             "next_save": 0, "next_viz": 0}
+                if cfg.checkpoint_replay:
+                    full_like.update(states=states, obs=obs, rstate=rstate)
+                restored = ckpt.restore(resume_dir, last, full_like)
+                if restored is not None:
+                    rollbacks += 1
+                    to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+                    astate = shard_repl(to_dev(restored["astate"]))
+                    # jittered RNG: a bit-identical replay would collapse at
+                    # the same point; fold in the rollback ordinal instead
+                    rng = jax.random.fold_in(
+                        jnp.asarray(restored["rng"]), 1_000_003 + rollbacks)
+                    step = last
+                    episode = int(restored["episode"])
+                    caught_up = bool(restored["caught_up"])
+                    next_eval = int(restored["next_eval"])
+                    next_save = int(restored["next_save"])
+                    next_viz = int(restored["next_viz"])
+                    if cfg.checkpoint_replay:
+                        states = shard_env(to_dev(restored["states"]))
+                        obs = shard_env(jnp.asarray(restored["obs"]))
+                        rstate = shard_env(to_dev(restored["rstate"]))
+                    else:
+                        # the ring holds collapse-era data; rebuild it fresh
+                        # and rewarm with the restored policy (same protocol
+                        # as a process-level partial resume above)
+                        rng, k_g = jax.random.split(rng)
+                        states, obs = venv.reset(k_g)
+                        states, obs = shard_env(states), shard_env(obs)
+                        rstate = shard_env(add_reset_fn(buffer.init(), obs))
+                        rewarm_until = step + max(cfg.init_steps, 0)
+                    print(f"Collapse guard: reward {ep_reward:.1f} < "
+                          f"{cfg.guard_collapse:.2f} x best {best_ema:.1f}; "
+                          f"rolled back to step {last} "
+                          f"({rollbacks}/{cfg.guard_max_rollbacks})")
+                    continue
+
         # ---- periodic evaluation (reference: train.py:184-204)
         if cfg.eval_mode is not None and step >= next_eval:
             next_eval += cfg.eval_freq * ((step - next_eval) // cfg.eval_freq + 1)
@@ -367,4 +431,4 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
 
     print("Completed training for", work_dir)
     return {"work_dir": work_dir, "episodes": episode,
-            "final_metrics": last_metrics}
+            "rollbacks": rollbacks, "final_metrics": last_metrics}

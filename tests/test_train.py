@@ -96,6 +96,25 @@ def test_resume_without_replay_rewarm(tmp_path):
     assert "critic_loss" in rows[8]
 
 
+def test_collapse_guard_rollback(tmp_path, monkeypatch):
+    """Failure detection + elastic recovery (SURVEY §5 — the reference has
+    neither): inject one collapsed chunk via the fault hook and assert the
+    guard rolls back to the last resume checkpoint and completes training."""
+    monkeypatch.setenv("SGQN_FAULT_INJECT_COLLAPSE", "6")
+    cfg = _tiny_cfg(tmp_path, train_steps=10, save_freq=2,
+                    guard_collapse=0.5, checkpoint_replay=True)
+    out = run_training(cfg)
+    assert out["rollbacks"] == 1
+    wd = work_dir_for(cfg)
+    rows = [json.loads(l) for l in open(os.path.join(wd, "train.log"))]
+    steps = [r["step"] for r in rows if "episode_reward" in r]
+    # the rollback rewinds the step counter: the log revisits a step
+    assert len(steps) > len(set(steps))
+    assert max(steps) == 10  # training still ran to completion
+    for v in out["final_metrics"].values():
+        assert np.isfinite(v)
+
+
 def test_run_training_multichip_mesh(tmp_path):
     """Driver-level 8-device sharded training (round-1 VERDICT missing #1):
     run_training with mesh_data_axis=8 over the virtual CPU mesh."""
