@@ -98,6 +98,56 @@ class TestReplay:
             _, ep_i, _ = buf.sample_idx(state, jax.random.PRNGKey(seed), 256)
             assert not np.any(np.asarray(ep_i) == int(state.ep_ptr))
 
+    def test_full_wrap_sample_consistency(self):
+        """Exhaustive cross-consistency through many ring wraps with
+        mid-episode sampling (the fused trainer's regime): every sampled
+        transition's obs frame, action, reward, and next_obs frame must
+        decode to the SAME (global episode, step), the episode must be
+        within the ring's retention window, and obs/next_obs must come
+        from the same env — any fresh/stale mixing poisons the critic."""
+        E, T, N = 16, 5, 3
+        buf = _buffer(num_envs=E, T=T, num_eps_cap=N, size=8, A=1)
+        state = buf.init()
+        s = buf.image_size
+
+        def frame(ep, t):
+            # pixel [0,0,0] encodes (ep, t); pixel [0,0,1] encodes env
+            f = np.zeros((E, 9, s, s), np.uint8)
+            f[:, -3, 0, 0] = ep * (T + 1) + t
+            f[:, -3, 0, 1] = np.arange(E)
+            return jnp.asarray(f)
+
+        rng = jax.random.PRNGKey(0)
+        completed = -1  # newest completed global episode
+        for ep in range(12):  # 4 full wraps of the 3-slot ring
+            state = buf.add_reset(state, frame(ep, 0))
+            for t in range(T):
+                state = buf.add(
+                    state, jnp.full((E, 1), float(ep * T + t)),
+                    jnp.full((E,), float(ep * T + t)), frame(ep, t + 1))
+                # the final add of an episode completes it immediately
+                if t == T - 1:
+                    completed = ep
+                if completed >= 0:  # sample mid-episode, like the trainer
+                    rng, k = jax.random.split(rng)
+                    b = buf.sample_raw(state, k, 64)
+                    code_o = np.asarray(b.obs)[:, -3, 0, 0].astype(int)
+                    code_n = np.asarray(b.next_obs)[:, -3, 0, 0].astype(int)
+                    env_o = np.asarray(b.obs)[:, -3, 0, 1].astype(int)
+                    env_n = np.asarray(b.next_obs)[:, -3, 0, 1].astype(int)
+                    act = np.asarray(b.action)[:, 0].astype(int)
+                    rew = np.asarray(b.reward)[:, 0].astype(int)
+                    ep_a, s_a = act // T, act % T
+                    ep_o, s_o = code_o // (T + 1), code_o % (T + 1)
+                    # same transition across all four fields
+                    assert (ep_o == ep_a).all() and (s_o == s_a).all()
+                    assert (code_n == code_o + 1).all()
+                    assert (rew == act).all()
+                    assert (env_o == env_n).all()
+                    # retention window: only intact completed episodes
+                    lo = max(completed - (N - 2), 0)
+                    assert (ep_a >= lo).all() and (ep_a <= completed).all()
+
     def test_jit_add_and_sample(self):
         buf = _buffer()
         state = buf.init()
