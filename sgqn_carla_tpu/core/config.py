@@ -161,6 +161,12 @@ class Config:
                                  # with jittered RNG. Positive-reward tasks only
                                  # (the trigger requires best EMA > 0).
     guard_max_rollbacks: int = 3  # rollback budget before the guard disarms
+    replay_policy: str = "fifo"  # episode-slot replacement once the ring is
+                                 # full: "fifo" (reference semantics) or
+                                 # "reservoir" (uniform-random victim slot —
+                                 # geometric age tail keeps early diverse
+                                 # data; counters replay homogenization at
+                                 # high num_envs, data/replay.py)
     replay_capacity: int = 0     # 0 → derived: min(train_steps, 100_000).
                                  # Deliberate HBM-driven divergence: the reference
                                  # allocates capacity=train_steps (600k) of host RAM

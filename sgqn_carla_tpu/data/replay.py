@@ -40,6 +40,7 @@ class ReplayState(struct.PyTreeNode):
     ep_ptr: jnp.ndarray    # int32: episode slot currently being written
     step_ptr: jnp.ndarray  # int32: next step index within the episode
     num_eps: jnp.ndarray   # int32: completed episodes stored (≤ N)
+    ep_counter: jnp.ndarray  # int32: total episodes ever started (slot policy)
 
 
 class Batch(struct.PyTreeNode):
@@ -56,7 +57,7 @@ class ReplayBuffer:
 
     def __init__(self, *, num_envs: int, episode_len: int, capacity: int,
                  image_size: int, action_size: int, frame_stack: int = 3,
-                 batch_size: int = 128):
+                 batch_size: int = 128, policy: str = "fifo"):
         self.num_envs = num_envs
         self.T = episode_len  # wrapper steps per episode
         steps_per_env = max(capacity // max(num_envs, 1), episode_len)
@@ -65,6 +66,19 @@ class ReplayBuffer:
         self.action_size = action_size
         self.frame_stack = frame_stack
         self.batch_size = batch_size
+        # slot-replacement policy once the ring is full:
+        #   "fifo"      — overwrite the oldest episode (reference semantics,
+        #                 utils.py:124-127 `idx = (idx + 1) % capacity`);
+        #   "reservoir" — overwrite a uniform-random slot. Expected retention
+        #                 is still N episodes but with a geometric age tail,
+        #                 so early diverse behavior survives long after FIFO
+        #                 would have flushed it. At high env counts a FIFO
+        #                 ring homogenizes to recent near-optimal data within
+        #                 a few thousand updates, which precedes every
+        #                 observed late-training Q-divergence collapse
+        #                 (docs/PERF.md).
+        assert policy in ("fifo", "reservoir"), policy
+        self.policy = policy
 
     def init(self) -> ReplayState:
         E, N, T = self.num_envs, self.num_episodes, self.T
@@ -76,6 +90,7 @@ class ReplayBuffer:
             ep_ptr=jnp.int32(0),
             step_ptr=jnp.int32(0),
             num_eps=jnp.int32(0),
+            ep_counter=jnp.int32(0),
         )
 
     # -- writing -------------------------------------------------------------
@@ -108,13 +123,26 @@ class ReplayBuffer:
                 r, ri[None, None], (e, s)),
         )(state.rewards, reward.astype(jnp.float32))
         done_ep = s + 1 >= self.T
+        if self.policy == "reservoir":
+            # once full, overwrite a uniform-random slot (deterministic:
+            # seeded by the completed-episode counter, no rng threading)
+            filled = state.num_eps + 1 >= self.num_episodes
+            k = jax.random.fold_in(jax.random.PRNGKey(0x5E5B),
+                                   state.ep_counter)
+            rand_slot = jax.random.randint(k, (), 0, self.num_episodes)
+            next_slot = jnp.where(filled, rand_slot,
+                                  (e + 1) % self.num_episodes)
+        else:
+            next_slot = (e + 1) % self.num_episodes
         return state.replace(
             frames=frames, actions=actions, rewards=rewards,
             step_ptr=jnp.where(done_ep, 0, s + 1),
-            ep_ptr=jnp.where(done_ep, (e + 1) % self.num_episodes, e),
+            ep_ptr=jnp.where(done_ep, next_slot, e),
             num_eps=jnp.where(
                 done_ep, jnp.minimum(state.num_eps + 1, self.num_episodes),
                 state.num_eps),
+            ep_counter=jnp.where(done_ep, state.ep_counter + 1,
+                                 state.ep_counter),
         )
 
     # -- sampling ------------------------------------------------------------

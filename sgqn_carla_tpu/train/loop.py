@@ -158,7 +158,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         num_envs=cfg.num_envs, episode_len=env.max_episode_steps,
         capacity=cfg.replay_capacity, image_size=cfg.image_size,
         action_size=env.action_size, frame_stack=cfg.frame_stack,
-        batch_size=cfg.batch_size)
+        batch_size=cfg.batch_size, policy=cfg.replay_policy)
     rstate = buffer.init()
 
     agent = make_agent((3 * cfg.frame_stack, cfg.image_crop_size,

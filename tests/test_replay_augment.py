@@ -10,10 +10,11 @@ from sgqn_carla_tpu.data.replay import ReplayBuffer
 from sgqn_carla_tpu.ops import augment
 
 
-def _buffer(num_envs=2, T=5, num_eps_cap=3, size=16, A=2):
+def _buffer(num_envs=2, T=5, num_eps_cap=3, size=16, A=2, policy="fifo"):
     return ReplayBuffer(num_envs=num_envs, episode_len=T,
                         capacity=num_envs * T * num_eps_cap,
-                        image_size=size, action_size=A, batch_size=8)
+                        image_size=size, action_size=A, batch_size=8,
+                        policy=policy)
 
 
 def _fill_episode(buf, state, ep_value):
@@ -147,6 +148,46 @@ class TestReplay:
                     # retention window: only intact completed episodes
                     lo = max(completed - (N - 2), 0)
                     assert (ep_a >= lo).all() and (ep_a <= completed).all()
+
+    def test_reservoir_retains_old_episodes(self):
+        """Reservoir slot replacement: after many episodes some slot must
+        still hold an episode older than the FIFO horizon, samples must
+        stay internally consistent, and the write-head slot excluded."""
+        E, T, N = 2, 5, 4
+        buf = _buffer(num_envs=E, T=T, num_eps_cap=N, size=8, A=1,
+                      policy="reservoir")
+        state = buf.init()
+        s = buf.image_size
+        add = jax.jit(buf.add)
+        max_age = 0
+        for ep in range(24):
+            f0 = np.zeros((E, 9, s, s), np.uint8)
+            f0[:, -3, 0, 0] = ep * (T + 1)
+            state = buf.add_reset(state, jnp.asarray(f0))
+            for t in range(T):
+                f = np.zeros((E, 9, s, s), np.uint8)
+                f[:, -3, 0, 0] = ep * (T + 1) + t + 1
+                state = add(state, jnp.full((E, 1), float(ep * T + t)),
+                            jnp.full((E,), float(ep * T + t)),
+                            jnp.asarray(f))
+            # decode which global episode each slot retains right now
+            codes = np.asarray(state.frames)[0, :, 0, 0, 0, 0].astype(int)
+            max_age = max(max_age, ep - (codes // (T + 1)).min())
+        # FIFO age never exceeds N-1; the reservoir tail must
+        assert max_age > N, max_age
+        codes = np.asarray(state.frames)[0, :, 0, 0, 0, 0].astype(int)
+        eps_held = codes // (T + 1)
+        # consistency of sampled transitions (episode slots are random now)
+        b = buf.sample_raw(state, jax.random.PRNGKey(3), 128)
+        code_o = np.asarray(b.obs)[:, -3, 0, 0].astype(int)
+        code_n = np.asarray(b.next_obs)[:, -3, 0, 0].astype(int)
+        act = np.asarray(b.action)[:, 0].astype(int)
+        assert (code_n == code_o + 1).all()
+        assert (code_o // (T + 1) == act // T).all()
+        assert (code_o % (T + 1) == act % T).all()
+        # sampled episodes must be retained, non-write-head episodes
+        held = set(eps_held.tolist()) - {int(eps_held[int(state.ep_ptr)])}
+        assert set((code_o // (T + 1)).tolist()) <= held
 
     def test_jit_add_and_sample(self):
         buf = _buffer()
