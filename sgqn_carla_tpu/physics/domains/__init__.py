@@ -43,6 +43,7 @@ def _ensure_imported():
         ball_in_cup,
         cartpole,
         cheetah,
+        composed,
         extra,
         finger,
         fish,
