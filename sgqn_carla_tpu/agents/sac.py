@@ -187,6 +187,11 @@ class SAC:
         alpha = jnp.exp(state.log_alpha)
         tv = jnp.minimum(tq1, tq2) - alpha * log_pi
         target_q = batch.reward + batch.not_done * self.discount * tv
+        if self.cfg.q_target_clip:
+            # bound the backup to the task's return bound (see
+            # core/config.py q_target_clip — collapse stabilizer)
+            c = self.cfg.q_target_clip
+            target_q = jnp.clip(target_q, -c, c)
         return jax.lax.stop_gradient(target_q)
 
     def critic_loss_fn(self, params, state: AgentState, batch: Batch,

@@ -161,6 +161,15 @@ class Config:
                                  # with jittered RNG. Positive-reward tasks only
                                  # (the trigger requires best EMA > 0).
     guard_max_rollbacks: int = 3  # rollback budget before the guard disarms
+    q_target_clip: float = 0.0   # >0 → clip the TD target to ±this value.
+                                 # Principled stabilizer for the late-training
+                                 # collapses (docs/PERF.md): measured |Q| grows
+                                 # past the return bound r_max/(1−γ) (=100 for
+                                 # tolerance-reward tasks at γ=0.99) before each
+                                 # cliff, so clipping the backup at that bound
+                                 # (+ entropy headroom, e.g. 110) removes the
+                                 # overestimation spiral's fuel. Off by default
+                                 # (reference parity).
     replay_policy: str = "fifo"  # episode-slot replacement once the ring is
                                  # full: "fifo" (reference semantics) or
                                  # "reservoir" (uniform-random victim slot —

@@ -116,6 +116,22 @@ def test_alpha_moves():
     assert float(state.log_alpha) != a0
 
 
+def test_q_target_clip_bounds_backup():
+    """--q_target_clip caps the TD target at the return bound (collapse
+    stabilizer, core/config.py); off by default (reference parity)."""
+    agent, state, buf, rstate = _mk("sac", q_target_clip=0.5)
+    batch = agent.sample_batch(buf, rstate, jax.random.PRNGKey(1))
+    # inflate the backup: huge rewards would push targets far past the clip
+    batch = batch.replace(reward=batch.reward + 1e3)
+    tq = agent.critic_target_values(state, batch, jax.random.PRNGKey(2))
+    assert float(jnp.max(jnp.abs(tq))) <= 0.5
+    agent2, state2, buf2, rstate2 = _mk("sac")  # default: unclipped
+    batch2 = agent2.sample_batch(buf2, rstate2, jax.random.PRNGKey(1))
+    batch2 = batch2.replace(reward=batch2.reward + 1e3)
+    tq2 = agent2.critic_target_values(state2, batch2, jax.random.PRNGKey(2))
+    assert float(jnp.max(tq2)) > 0.5
+
+
 class TestGuidedBackprop:
     def test_guided_relu_gates_both(self):
         from sgqn_carla_tpu.ops.guided_backprop import guided_relu
