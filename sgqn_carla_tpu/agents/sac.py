@@ -188,8 +188,8 @@ class SAC:
         tv = jnp.minimum(tq1, tq2) - alpha * log_pi
         target_q = batch.reward + batch.not_done * self.discount * tv
         if self.cfg.q_target_clip:
-            # bound the backup to the task's return bound (see
-            # core/config.py q_target_clip — collapse stabilizer)
+            # bound the backup (safety rail; see core/config.py
+            # q_target_clip for the frame-skip-aware bound)
             c = self.cfg.q_target_clip
             target_q = jnp.clip(target_q, -c, c)
         return jax.lax.stop_gradient(target_q)

@@ -162,13 +162,16 @@ class Config:
                                  # (the trigger requires best EMA > 0).
     guard_max_rollbacks: int = 3  # rollback budget before the guard disarms
     q_target_clip: float = 0.0   # >0 → clip the TD target to ±this value.
-                                 # Principled stabilizer for the late-training
-                                 # collapses (docs/PERF.md): measured |Q| grows
-                                 # past the return bound r_max/(1−γ) (=100 for
-                                 # tolerance-reward tasks at γ=0.99) before each
-                                 # cliff, so clipping the backup at that bound
-                                 # (+ entropy headroom, e.g. 110) removes the
-                                 # overestimation spiral's fuel. Off by default
+                                 # Safety rail against runaway critic targets.
+                                 # The bound must account for frame-skip: one
+                                 # replay transition spans action_repeat
+                                 # control steps, so r_max = action_repeat ×
+                                 # max per-control-step reward (walker: 4×1 →
+                                 # bound 4/(1−γ) = 400, NOT 100). Measured
+                                 # ablation (docs/PERF.md): an over-tight clip
+                                 # (110, walker 16-env) silently caps learning
+                                 # at ~reward 430 — pre-collapse Q values are
+                                 # honest, not overestimates. Off by default
                                  # (reference parity).
     replay_policy: str = "fifo"  # episode-slot replacement once the ring is
                                  # full: "fifo" (reference semantics) or
