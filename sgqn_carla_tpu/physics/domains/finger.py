@@ -36,6 +36,13 @@ def make_model(spin: bool):
     # dt 0.0025 (4 substeps per MuJoCo 0.01 step): the light finger/spinner
     # parts need a smaller explicit step for the penalty contacts
     b = ModelBuilder(timestep=0.0025, gravity=(0, 0, 0), integrator="euler")
+    # stiff contact solve: the spinner is driven paddle-wheel style by brief
+    # fingertip-arm impulses; with the default solref (0.02) the penalty
+    # transfer is ~8x weaker than MuJoCo's elliptic-cone solver (finger.xml
+    # option cone="elliptic" iterations="200") and spin can never reach the
+    # 15 rad/s reward threshold. (0.005, 1.0) matches the real-MuJoCo
+    # scripted-rub peak (21.6 vs 21.0 rad/s; see docs/PERF.md).
+    b.contact_solref = (0.005, 1.0)
     b.add_geom(0, PLANE, size=(0.6, 0.2, 10), material="grid", name="ground")
 
     prox = b.add_body(0, pos=(-0.2, 0, 0.4), name="proximal")

@@ -622,6 +622,7 @@ class ModelBuilder:
             com0=com0,
             density=self.density,
             viscosity=self.viscosity,
+            contact_solref=tuple(self.contact_solref),
             hfield_geom=hfield_geom,
             hfield_pairs=tuple(hfield_pairs),
         )
@@ -701,6 +702,14 @@ class Model:
     contact_damping: float = 200.0
     limit_stiffness: float = 300.0
     limit_damping: float = 2.0
+    # solref (timeconst, dampratio) for the penalty contact gains
+    # (engine._soft_gains). The MuJoCo default is (0.02, 1.0); domains whose
+    # contact interactions need a stiffer solve override it — finger's
+    # spinner paddle-wheel momentum transfer is stiffness-limited (the
+    # reference finger.xml demands cone="elliptic" iterations="200"; with
+    # the default solref our scripted-rub probe peaks at 6.7 rad/s vs real
+    # MuJoCo's 21; at (0.005, 1.0) it matches at 21.6).
+    contact_solref: tuple = (0.02, 1.0)
     # heightfield terrain (quadruped escape): geom index of the HFIELD geom
     # (size = (half_x, half_y, z_scale, z_base), pos z = base offset) and the
     # static sample-point decomposition of every geom that collides with it:
