@@ -48,6 +48,9 @@ CASES = {
     ("ball_in_cup", "catch"): [(10, 1e-3), (25, 0.2)],
     ("swimmer", "swimmer6"): [(10, 1e-3), (50, 0.1)],
     ("fish", "upright"): [(10, 0.1), (25, 0.5)],
+    # 21-joint contact-rich chain: measured 0.20@5 / 0.77@10 — chaotic
+    # divergence comparable to walker's, pinned as a regression bound
+    ("humanoid", "stand"): [(5, 0.3), (10, 1.0)],
 }
 
 # free-root (quaternion) golden layouts map onto slide×3 + hinge×3 roots
