@@ -38,6 +38,7 @@ CASES = [
     ("swimmer", "swimmer6", ["head"]),
     ("fish", "upright", ["torso"]),
     ("humanoid", "stand", ["torso"]),
+    ("quadruped", "walk", ["torso"]),
 ]
 
 T = 100          # control steps recorded

@@ -51,6 +51,9 @@ CASES = {
     # 21-joint contact-rich chain: measured 0.20@5 / 0.77@10 — chaotic
     # divergence comparable to walker's, pinned as a regression bound
     ("humanoid", "stand"): [(5, 0.3), (10, 1.0)],
+    # 22-dof, 4-leg contact + dyntype=filter servos (task_aux activation
+    # replay): measured 0.18@5 / 0.73@25
+    ("quadruped", "walk"): [(5, 0.25), (25, 1.0)],
 }
 
 # free-root (quaternion) golden layouts map onto slide×3 + hinge×3 roots
@@ -112,9 +115,13 @@ def _map_state(g, model):
 
 def _rollout(task, qpos0, qvel0, actions):
     npair = len(task.model.contact_pairs)
-    state = PhysState(jnp.asarray(qpos0, jnp.float32),
-                      jnp.asarray(qvel0, jnp.float32),
-                      jnp.zeros((npair,), jnp.float32))
+    # start from task.init so domains with per-episode auxiliary state get
+    # a valid task_aux (quadruped's actuator activation filters), then
+    # overwrite the dynamics state with the golden's initial conditions
+    state = task.init(jax.random.PRNGKey(0)).replace(
+        qpos=jnp.asarray(qpos0, jnp.float32),
+        qvel=jnp.asarray(qvel0, jnp.float32),
+        contact_force=jnp.zeros((npair,), jnp.float32))
 
     step = jax.jit(task.step)
     out = [np.asarray(qpos0, np.float64)]
