@@ -600,6 +600,112 @@ def contact_wrenches_batched(model: Model, kin):
     return F_pad[:model.nl], pf
 
 
+def implicit_contact_stage(model: Model, qpos, qvel, h, anc):
+    """Velocity-level implicit contact solve (model.implicit_contacts).
+
+    Projected-Jacobi sweeps over all potential contacts: for each contact,
+    an implicit spring-damper impulse along the normal (unconditionally
+    stable — stiffness can exceed the explicit penalty's k ≤ m_eff/h²
+    bound by orders of magnitude) and a friction impulse targeting ZERO
+    tangential slip, clamped to the Coulomb cone (TRUE stiction: a
+    squeezed ball stays held, where the regularized tanh friction of the
+    explicit path always creeps). Effective masses use the diagonal
+    joint-space approximation Δqvel = diag(1/m_j)·Gᵀ·λ with G the
+    generalized contact directions — one Jacobi sweep is O(ncon·nl),
+    batched. Returns (qvel', (npair,) normal force magnitudes).
+
+    This is the MuJoCo-solver-shaped path (constraint impulses, cone
+    projection) the grasp domains need; locomotion domains keep the
+    golden-validated explicit penalty (see Model.implicit_contacts)."""
+    from sgqn_carla_tpu.physics import engine as eng
+
+    kin = eng.forward_kinematics(model, qpos, qvel)
+    prog = collision_program(model)
+    cats = _contact_depths_points(model, kin, prog)
+    if not cats:
+        return qvel, jnp.zeros((len(model.contact_pairs),), _f)
+    D = jnp.concatenate([c[0] for c in cats])
+    X = jnp.concatenate([c[1] for c in cats])
+    N = jnp.concatenate([c[2] for c in cats])
+    MU = jnp.concatenate([jnp.broadcast_to(jnp.asarray(c[3], _f),
+                                           c[0].shape) for c in cats])
+    LA = np.concatenate([np.asarray(c[4]) for c in cats])
+    LB = np.concatenate([np.asarray(c[5]) for c in cats])
+    PAIR = np.concatenate([np.asarray(c[6]) for c in cats])
+
+    # generalized directions G[c, j] = (anc[la]−anc[lb])_j · (S_j · w_c)
+    anc_pad = np.concatenate([np.asarray(anc, np.float32),
+                              np.zeros((1, model.nl), np.float32)], 0)
+    mask = jnp.asarray(anc_pad[LA] - anc_pad[LB], _f)       # (C, nl)
+
+    def gdirs(F):
+        W = jnp.concatenate([jnp.cross(X, F), F], -1)       # (C, 6)
+        return (W @ kin.S.T) * mask                          # (C, nl)
+
+    # orthonormal tangent frame per contact
+    ref = jnp.where(jnp.abs(N[:, 2:3]) < 0.9,
+                    jnp.asarray([0.0, 0.0, 1.0], _f)[None],
+                    jnp.asarray([1.0, 0.0, 0.0], _f)[None])
+    T1 = jnp.cross(N, ref)
+    T1 = T1 / (jnp.linalg.norm(T1, axis=-1, keepdims=True) + 1e-9)
+    T2 = jnp.cross(N, T1)
+    Gn, Gt1, Gt2 = gdirs(N), gdirs(T1), gdirs(T2)
+
+    inv_m = jnp.asarray(1.0 / np.maximum(
+        eng.constraint_scales(model)[1], 1e-9), _f)          # (nl,)
+    def eff_m(G):
+        return 1.0 / (jnp.sum(G * G * inv_m[None, :], -1) + 1e-9)
+    m_n, m_t1, m_t2 = eff_m(Gn), eff_m(Gt1), eff_m(Gt2)
+
+    active = (D > 0).astype(_f)
+    beta = jnp.float32(0.2)                                   # Baumgarte ERP
+
+    # sequential (Gauss-Seidel) projected impulses via lax.scan — Jacobi
+    # sweeps oscillate on two-sided pinches (a gripped ball) and creep;
+    # GS converges in a few sweeps. Velocity-level non-penetration with
+    # Baumgarte position correction is force-UNBOUNDED (the point vs the
+    # spring law: the constraint pushes with whatever impulse zeroes the
+    # approach velocity, so gram-scale digits carry newton loads).
+    xs = dict(Gn=Gn, Gt1=Gt1, Gt2=Gt2, m_n=m_n, m_t1=m_t1, m_t2=m_t2,
+              D=D, MU=MU, active=active)
+
+    def one_contact(carry, x):
+        v, ln, lt1, lt2, idx = carry
+        vn = jnp.sum(x["Gn"] * v)
+        vn_tgt = jnp.maximum(vn, beta * x["D"] / h)
+        d_n = x["m_n"] * (vn_tgt - vn) * x["active"]
+        new_n = jnp.maximum(ln[idx] + d_n, 0.0)               # λn ≥ 0
+        d_n = new_n - ln[idx]
+        ln = ln.at[idx].set(new_n)
+        v = v + d_n * x["Gn"] * inv_m
+        for key, mkey, lt in (("Gt1", "m_t1", "lt1"), ("Gt2", "m_t2", "lt2")):
+            G = x[key]
+            vt = jnp.sum(G * v)
+            d_t = x[mkey] * (-vt) * x["active"]
+            lam = lt1 if lt == "lt1" else lt2
+            new_t = jnp.clip(lam[idx] + d_t, -x["MU"] * new_n,
+                             x["MU"] * new_n)
+            d_t = new_t - lam[idx]
+            if lt == "lt1":
+                lt1 = lam.at[idx].set(new_t)
+            else:
+                lt2 = lam.at[idx].set(new_t)
+            v = v + d_t * G * inv_m
+        return (v, ln, lt1, lt2, idx + 1), None
+
+    lam_n = jnp.zeros(D.shape, _f)
+    lam_t1 = jnp.zeros(D.shape, _f)
+    lam_t2 = jnp.zeros(D.shape, _f)
+    v = qvel
+    for _ in range(3):                                        # GS sweeps
+        (v, lam_n, lam_t1, lam_t2, _), _ = jax.lax.scan(
+            one_contact, (v, lam_n, lam_t1, lam_t2, jnp.int32(0)), xs)
+
+    npair = len(model.contact_pairs)
+    pf = jnp.zeros((npair,), _f).at[jnp.asarray(PAIR)].add(lam_n / h)
+    return v, pf
+
+
 def hfield_wrenches(model: Model, kin, terrain):
     """((nl, 6) wrenches, (n_hfield_pairs,) normal magnitudes) from the
     per-episode heightfield terrain grid (physics/hfield.py).
@@ -730,12 +836,15 @@ def forward_dynamics(model: Model, qpos, qvel, ctrl, anc, hfield=None):
     if model.density > 0 or model.viscosity > 0:
         F = F + fluid_wrenches(model, kin)
         any_wrench = True
-    if len(model.contact_pairs):
+    if len(model.contact_pairs) and not model.implicit_contacts:
         Fc, pair_f = contact_wrenches_batched(model, kin)
         F = F + Fc
         any_wrench = True
     else:
-        pair_f = jnp.zeros((0,), _f)
+        # implicit_contacts: contact impulses are applied post-integration
+        # in engine.step (implicit_contact_stage), not as forces here
+        pair_f = jnp.zeros((0 if not model.implicit_contacts
+                            else len(model.contact_pairs),), _f)
     if model.hfield_pairs:
         if hfield is None:
             raise ValueError(

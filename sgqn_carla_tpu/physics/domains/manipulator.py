@@ -144,6 +144,9 @@ def build_arm(b: ModelBuilder):
 
 def make_model(use_peg: bool, insert: bool):
     b = ModelBuilder(timestep=0.001, integrator="euler")
+    # grasping needs constraint-style contacts: explicit penalties cannot
+    # hold the ball in the gripper (see Model.implicit_contacts)
+    b.implicit_contacts = True
     build_arena(b)
     build_arm(b)
     cap = _mk_cap(b)

@@ -37,6 +37,8 @@ _BOX_MASS = 500.0 * (2 * _BOX_SIZE) ** 3  # density 500 (stacker.xml:26)
 
 def make_model(n_boxes: int):
     b = ModelBuilder(timestep=0.001, integrator="euler")
+    # same grasp-capable implicit contact solve as manipulator
+    b.implicit_contacts = True
     build_arena(b)
     build_arm(b)
     for i in range(n_boxes):

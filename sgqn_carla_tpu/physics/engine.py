@@ -752,6 +752,12 @@ def contact_taus(model: Model, kin: Kin, gw, anc: np.ndarray):
     pair_forces = []
     m_eff, _ = constraint_scales(model)
     k0, b0, imp = _soft_gains(model)
+    # friction regularization velocity: full µ·fn beyond ~vreg slip. The
+    # default 1 cm/s is fine for locomotion feet; grasp domains need near-
+    # stiction (manipulator/stacker set 1e-3 — at 0.01 a squeezed ball
+    # creeps out of the gripper within a second while MuJoCo's cone solver
+    # holds it; see docs/PERF.md interaction probes)
+    vreg = float(getattr(model, "contact_vreg", 0.01))
     gvec = np.asarray(model.gravity, np.float64)
     for pair_i, (gi, gj) in enumerate(model.contact_pairs):
         contacts = _contacts_for_pair(model, kin, int(gi), int(gj), gw)
@@ -777,8 +783,8 @@ def contact_taus(model: Model, kin: Kin, gw, anc: np.ndarray):
             fn = jnp.maximum(fn, 0.0) * active
             vt = v3.sub(v_rel, v3.scale(n, vn))
             vt_norm = v3.norm(vt) + 1e-6
-            # regularized Coulomb: full µ·fn beyond ~1 cm/s slip
-            ft_scale = -mu * fn * jnp.tanh(vt_norm / 0.01) / vt_norm
+            # regularized Coulomb: full µ·fn beyond ~vreg slip
+            ft_scale = -mu * fn * jnp.tanh(vt_norm / vreg) / vt_norm
             f3 = v3.add(v3.scale(n, fn), v3.scale(vt, ft_scale))
             for link, sign in ((la, 1.0), (lb, -1.0)):
                 ts = _project_point_force(kin, anc, link, x, f3)
@@ -874,17 +880,90 @@ def fluid_taus(model: Model, kin: Kin, anc: np.ndarray, tau):
     return tau
 
 
+def _limit_gains(model: Model):
+    """Per-dof limit spring/damper (host numpy, folded as constants).
+
+    Base law: solref gains scaled by the joint-space effective inertia
+    1/(M⁻¹)_jj — same as contacts (constraint_scales). That alone fails
+    for LIGHT dofs driven by STRONG actuators: the spring's maximum
+    torque k·overshoot is bounded, and e.g. the manipulator's grasp
+    tendon (τ=1 N·m on ~1e-4 kg·m² digits) blows through the −10..60°
+    range by radians — MuJoCo's constraint solver, by contrast, applies
+    whatever force the limit needs. Remedy: floor k at (actuator
+    authority)/0.05 rad, capped at the explicit-Euler stability bound
+    k ≤ m_j·(0.5/dt)², with critical damping c = 2·√(k·m_j)."""
+    _, dof_m = constraint_scales(model)
+    k0, b0, imp = _soft_gains(model)
+    k = imp * dof_m * k0
+    c = imp * dof_m * b0
+    if not model.implicit_contacts:
+        # explicit path (golden-validated): base solref gains unchanged
+        return k, c
+    if model.act_moment is not None and model.act_moment.size:
+        mom = np.abs(np.asarray(model.act_moment, np.float64))  # (nu, nv)
+        fmax = np.ones(mom.shape[0])
+        kind = np.asarray(model.act_kind)
+        if np.any(kind == 1):  # position servos: |f| ≤ kp·(span bound ~2)
+            fmax = np.where(kind == 1, 2.0 * np.asarray(model.act_gain), 1.0)
+        authority = (mom * fmax[:, None]).sum(axis=0)  # (nv,)
+        k_auth = authority / 0.05
+        # no stability cap: the limit is integrated implicitly (see
+        # _implicit_limit_stage), stable for arbitrary k
+        k_new = np.maximum(k, k_auth)
+        c = np.where(k_new > k, 2.0 * np.sqrt(k_new * dof_m), c)
+        k = k_new
+    if model.implicit_contacts:
+        # contact impulses can load UNACTUATED limited dofs (gripper tip
+        # joints carrying the squeezed ball): floor their stiffness too —
+        # free under the implicit integration
+        k_floor = 50.0
+        k_new = np.maximum(k, k_floor * np.asarray(model.jnt_limited))
+        c = np.where(k_new > k, 2.0 * np.sqrt(k_new * dof_m), c)
+        k = k_new
+    return k, c
+
+
+def _implicit_limit_stage(model: Model, qpos, qvel, h):
+    """Per-dof implicit joint-limit impulse, applied after the velocity
+    update on the PREDICTED position qpos + h·qvel.
+
+    Diagonal (joint-space) backward-Euler solve of the limit
+    spring-damper:  v' = (v + h·k·viol/m) / (1 + h·(c + h·k)/m·[viol>0]),
+    with m the joint-space effective inertia. Unconditionally stable, so
+    k can carry full actuator authority — the explicit form is bounded by
+    k ≤ m/(h²) and physically cannot stop a strong actuator on a light
+    dof (manipulator grasp digits blow 1+ rad through their range; the
+    same failure class as MuJoCo run WITHOUT its constraint solver).
+    Returns the corrected qvel."""
+    if not np.any(model.jnt_limited):
+        return qvel
+    k_np, c_np = _limit_gains(model)
+    dof_m = constraint_scales(model)[1]
+    limited = np.asarray(model.jnt_limited, np.float64)
+    k = jnp.asarray(k_np * limited / np.maximum(dof_m, 1e-12), jnp.float32)
+    c = jnp.asarray(c_np * limited / np.maximum(dof_m, 1e-12), jnp.float32)
+    lo = jnp.asarray(model.jnt_range[:, 0], jnp.float32)
+    hi = jnp.asarray(model.jnt_range[:, 1], jnp.float32)
+    q_pred = qpos + h * qvel
+    below = jnp.maximum(lo - q_pred, 0.0)
+    above = jnp.maximum(q_pred - hi, 0.0)
+    viol = ((below > 0) | (above > 0)).astype(jnp.float32)
+    acc = k * (below - above)              # spring accel toward the range
+    denom = 1.0 + h * (c + h * k) * viol
+    return (qvel + h * acc) / denom
+
+
 def limit_taus(model: Model, qpos, qvel):
-    """Joint-limit constraints as inertia-scaled one-sided soft springs:
-    per-dof gains k/b from solref scaled by the joint-space effective
-    inertia 1/(M⁻¹)_jj — same law as contacts (constraint_scales)."""
+    """Explicit joint-limit soft springs (the golden-validated path used
+    by every non-implicit-contacts model): solref gains scaled by the
+    joint-space effective inertia, coupled through M⁻¹ within the substep
+    (reference semantics: solimplimit constraints, suite/walker.xml:11)."""
     lo = jnp.asarray(model.jnt_range[:, 0], qpos.dtype)
     hi = jnp.asarray(model.jnt_range[:, 1], qpos.dtype)
     limited = jnp.asarray(model.jnt_limited, qpos.dtype)
-    _, dof_m = constraint_scales(model)
-    k0, b0, imp = _soft_gains(model)
-    k = jnp.asarray(imp * dof_m * k0, qpos.dtype)
-    c = jnp.asarray(imp * dof_m * b0, qpos.dtype)
+    k_np, c_np = _limit_gains(model)
+    k = jnp.asarray(k_np, qpos.dtype)
+    c = jnp.asarray(c_np, qpos.dtype)
     below = jnp.maximum(lo - qpos, 0.0)
     above = jnp.maximum(qpos - hi, 0.0)
     tau = k * below - k * above
@@ -929,7 +1008,13 @@ def applied_taus(model: Model, qpos, qvel, ctrl):
     if np.any(model.jnt_frictionloss):
         tau_vec = tau_vec - jnp.asarray(
             model.jnt_frictionloss, jnp.float32) * jnp.tanh(qvel / 0.01)
-    return tau_vec + limit_taus(model, qpos, qvel)
+    if not model.implicit_contacts:
+        # golden-validated explicit limit springs (coupled through M⁻¹
+        # within the substep). Grasp-class models instead integrate limits
+        # implicitly in step() (_implicit_limit_stage) so the spring can
+        # carry full actuator authority without the explicit-stability cap.
+        tau_vec = tau_vec + limit_taus(model, qpos, qvel)
+    return tau_vec
 
 
 def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc, hfield=None):
@@ -959,12 +1044,13 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc, hfield=None):
         tau = tendon_taus(model, kin, anc, tau)
     if model.density > 0 or model.viscosity > 0:
         tau = fluid_taus(model, kin, anc, tau)
-    if len(model.contact_pairs):
+    if len(model.contact_pairs) and not model.implicit_contacts:
         gw = _geom_world_soa(model, kin)
         tau_c, pair_f = contact_taus(model, kin, gw, anc)
         tau = [t + tc for t, tc in zip(tau, tau_c)]
     else:
-        pair_f = jnp.zeros((0,), jnp.float32)
+        pair_f = jnp.zeros((0 if not model.implicit_contacts
+                            else len(model.contact_pairs),), jnp.float32)
     rhs = [tau[i] - C[i] for i in range(model.nl)]
     qacc = _solve_spd(M, rhs, model.nl)
     return jnp.stack(qacc, -1), pair_f
@@ -1015,11 +1101,21 @@ def step(model: Model, qpos, qvel, ctrl, hfield=None) -> StepOut:
         k2v, k2a, _ = fdyn(qpos + 0.5 * h * k1v, qvel + 0.5 * h * k1a)
         k3v, k3a, _ = fdyn(qpos + 0.5 * h * k2v, qvel + 0.5 * h * k2a)
         k4v, k4a, _ = fdyn(qpos + h * k3v, qvel + h * k3a)
-        qpos_n = qpos + h / 6 * (k1v + 2 * k2v + 2 * k3v + k4v)
+        assert not model.implicit_contacts, (
+            "implicit_contacts requires the euler integrator")
         qvel_n = qvel + h / 6 * (k1a + 2 * k2a + 2 * k3a + k4a)
+        qpos_n = qpos + h / 6 * (k1v + 2 * k2v + 2 * k3v + k4v)
     else:  # semi-implicit Euler (MuJoCo default)
         qacc, pf = fwd(model, qpos, qvel, ctrl, anc, hfield)
         qvel_n = qvel + h * qacc
+        if model.implicit_contacts:
+            qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
+        if model.implicit_contacts and len(model.contact_pairs):
+            qvel_n, pf = dense.implicit_contact_stage(
+                model, qpos, qvel_n, h, anc)
+            # contact impulses may re-violate joint limits (the ball loads
+            # the unactuated tip joints): one more implicit limit pass
+            qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
         qpos_n = qpos + h * qvel_n
     return StepOut(qpos_n, qvel_n, pf)
 

@@ -237,6 +237,7 @@ class ModelBuilder:
         self.tendons: List[TendonSpec] = []
         self._tendon_bodies: List[Tuple] = []
         self.contact_solref = (0.02, 1.0)
+        self.implicit_contacts = False
         # MuJoCo <contact><exclude body1= body2=> pairs (body indices)
         self.excluded_body_pairs: List[Tuple[int, int]] = []
 
@@ -623,6 +624,7 @@ class ModelBuilder:
             density=self.density,
             viscosity=self.viscosity,
             contact_solref=tuple(self.contact_solref),
+            implicit_contacts=bool(self.implicit_contacts),
             hfield_geom=hfield_geom,
             hfield_pairs=tuple(hfield_pairs),
         )
@@ -710,6 +712,16 @@ class Model:
     # the default solref our scripted-rub probe peaks at 6.7 rad/s vs real
     # MuJoCo's 21; at (0.005, 1.0) it matches at 21.6).
     contact_solref: tuple = (0.02, 1.0)
+    # True → contacts are solved as implicit velocity-level impulses
+    # (dense.implicit_contact_stage: Jacobi sweeps with projected normal/
+    # friction cones and TRUE stiction) instead of explicit penalty
+    # forces. Required for grasping: explicit penalties are stability-
+    # bounded at k ≤ m_eff/h², which on gram-scale gripper digits cannot
+    # resist newton-scale grasp loads — the ball falls straight through
+    # (see the grasp probes in docs/PERF.md). Opt-in per domain
+    # (manipulator/stacker); locomotion domains keep the golden-validated
+    # explicit path.
+    implicit_contacts: bool = False
     # heightfield terrain (quadruped escape): geom index of the HFIELD geom
     # (size = (half_x, half_y, z_scale, z_base), pos z = base offset) and the
     # static sample-point decomposition of every geom that collides with it:
