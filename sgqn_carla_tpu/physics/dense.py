@@ -37,6 +37,14 @@ from sgqn_carla_tpu.physics.model import Model
 # beyond this many links the unrolled scalar path's compile time explodes;
 # the dense path takes over (engine.step dispatch)
 DENSE_NL = 12
+# Gauss-Seidel sweeps of the implicit contact solve (implicit_contact_stage)
+# and the successive-over-relaxation factor on its impulse increments (<1 =
+# under-relaxation, damping overshoot from the diagonal effective-mass
+# approximation).
+GS_SWEEPS = 3
+GS_SOR = 1.0
+GS_BETA = 0.2
+GS_SLOP = 0.0
 
 _f = jnp.float32
 
@@ -600,30 +608,47 @@ def contact_wrenches_batched(model: Model, kin):
     return F_pad[:model.nl], pf
 
 
-def implicit_contact_stage(model: Model, qpos, qvel, h, anc):
+def warm_size(model: Model) -> int:
+    """Number of candidate contact points the implicit solver tracks —
+    the static shape of its warm-start impulse carry (see
+    implicit_contact_stage's `warm`)."""
+    prog = collision_program(model)
+    return prog.npp + prog.nss + prog.nep + prog.npb + prog.npe
+
+
+def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
     """Velocity-level implicit contact solve (model.implicit_contacts).
 
-    Projected-Jacobi sweeps over all potential contacts: for each contact,
-    an implicit spring-damper impulse along the normal (unconditionally
-    stable — stiffness can exceed the explicit penalty's k ≤ m_eff/h²
-    bound by orders of magnitude) and a friction impulse targeting ZERO
+    Sequential (Gauss-Seidel) projected impulses over all potential
+    contacts: for each contact, a velocity-level non-penetration impulse
+    along the normal (Baumgarte-stabilized, force-UNBOUNDED — gram-scale
+    digits carry newton loads, unlike the explicit penalty's
+    k ≤ m_eff/h² stability bound) and a friction impulse targeting ZERO
     tangential slip, clamped to the Coulomb cone (TRUE stiction: a
     squeezed ball stays held, where the regularized tanh friction of the
-    explicit path always creeps). Effective masses use the diagonal
-    joint-space approximation Δqvel = diag(1/m_j)·Gᵀ·λ with G the
-    generalized contact directions — one Jacobi sweep is O(ncon·nl),
-    batched. Returns (qvel', (npair,) normal force magnitudes).
+    explicit path always creeps). Impulses are applied through the EXACT
+    inverse inertia (W = M⁻¹Gᵀ, one Cholesky per substep) — true PGS on
+    the Delassus operator, the role MuJoCo's PGS/Newton solvers play.
 
-    This is the MuJoCo-solver-shaped path (constraint impulses, cone
-    projection) the grasp domains need; locomotion domains keep the
-    golden-validated explicit penalty (see Model.implicit_contacts)."""
+    `warm` is an optional (warm_size(model), 3) array of λ(n, t1, t2)
+    from the previous substep (same model ⇒ same static contact-point
+    order): warm-started impulses are applied up front and the sweeps
+    only correct them, which removes the per-substep cold-start
+    micro-slip that otherwise accumulates as a slow hold creep.
+
+    Returns (qvel', (npair,) normal force magnitudes, λ for warm).
+
+    This is the solver-shaped path the grasp domains need; locomotion
+    domains keep the golden-validated explicit penalty
+    (see Model.implicit_contacts)."""
     from sgqn_carla_tpu.physics import engine as eng
 
     kin = eng.forward_kinematics(model, qpos, qvel)
     prog = collision_program(model)
     cats = _contact_depths_points(model, kin, prog)
     if not cats:
-        return qvel, jnp.zeros((len(model.contact_pairs),), _f)
+        return (qvel, jnp.zeros((len(model.contact_pairs),), _f),
+                jnp.zeros((0, 3), _f))
     D = jnp.concatenate([c[0] for c in cats])
     X = jnp.concatenate([c[1] for c in cats])
     N = jnp.concatenate([c[2] for c in cats])
@@ -651,14 +676,30 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc):
     T2 = jnp.cross(N, T1)
     Gn, Gt1, Gt2 = gdirs(N), gdirs(T1), gdirs(T2)
 
-    inv_m = jnp.asarray(1.0 / np.maximum(
-        eng.constraint_scales(model)[1], 1e-9), _f)          # (nl,)
-    def eff_m(G):
-        return 1.0 / (jnp.sum(G * G * inv_m[None, :], -1) + 1e-9)
-    m_n, m_t1, m_t2 = eff_m(Gn), eff_m(Gt1), eff_m(Gt2)
+    # exact impulse responses W = M⁻¹Gᵀ (true Delassus diagonal, not the
+    # diagonal joint-space approximation): applying impulses through an
+    # approximate inverse inertia is not momentum-consistent on articulated
+    # chains and measurably pumps energy — the manipulator hold probe showed
+    # an exponential lateral escape mode (×2 every 0.2 s) under the diagonal
+    # response that the exact response removes. One (nl,nl) Cholesky + a
+    # 3C-rhs triangular solve per substep; grasp domains only.
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    I6 = spatial_inertias(model, kin)
+    anc_f = jnp.asarray(anc, _f)
+    M = mass_matrix(model, kin, I6, anc_f)
+    Mreg = M + jnp.float32(1e-9) * jnp.eye(model.nl, dtype=_f)
+    cho = cho_factor(Mreg, lower=True)
+    Wn = cho_solve(cho, Gn.T).T                              # (C, nl)
+    Wt1 = cho_solve(cho, Gt1.T).T
+    Wt2 = cho_solve(cho, Gt2.T).T
+
+    def eff_m(G, W):
+        return 1.0 / (jnp.sum(G * W, -1) + 1e-9)
+    m_n, m_t1, m_t2 = eff_m(Gn, Wn), eff_m(Gt1, Wt1), eff_m(Gt2, Wt2)
 
     active = (D > 0).astype(_f)
-    beta = jnp.float32(0.2)                                   # Baumgarte ERP
+    beta = jnp.float32(GS_BETA)                               # Baumgarte ERP
 
     # sequential (Gauss-Seidel) projected impulses via lax.scan — Jacobi
     # sweeps oscillate on two-sided pinches (a gripped ball) and creep;
@@ -666,22 +707,27 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc):
     # Baumgarte position correction is force-UNBOUNDED (the point vs the
     # spring law: the constraint pushes with whatever impulse zeroes the
     # approach velocity, so gram-scale digits carry newton loads).
-    xs = dict(Gn=Gn, Gt1=Gt1, Gt2=Gt2, m_n=m_n, m_t1=m_t1, m_t2=m_t2,
-              D=D, MU=MU, active=active)
+    xs = dict(Gn=Gn, Gt1=Gt1, Gt2=Gt2, Wn=Wn, Wt1=Wt1, Wt2=Wt2,
+              m_n=m_n, m_t1=m_t1, m_t2=m_t2,
+              D=D, MU=MU, active=active,
+              i=jnp.arange(D.shape[0], dtype=jnp.int32))
 
     def one_contact(carry, x):
-        v, ln, lt1, lt2, idx = carry
+        v, ln, lt1, lt2 = carry
+        idx = x["i"]
         vn = jnp.sum(x["Gn"] * v)
-        vn_tgt = jnp.maximum(vn, beta * x["D"] / h)
-        d_n = x["m_n"] * (vn_tgt - vn) * x["active"]
+        vn_tgt = jnp.maximum(
+            vn, beta * jnp.maximum(x["D"] - jnp.float32(GS_SLOP), 0.0) / h)
+        d_n = GS_SOR * x["m_n"] * (vn_tgt - vn) * x["active"]
         new_n = jnp.maximum(ln[idx] + d_n, 0.0)               # λn ≥ 0
         d_n = new_n - ln[idx]
         ln = ln.at[idx].set(new_n)
-        v = v + d_n * x["Gn"] * inv_m
-        for key, mkey, lt in (("Gt1", "m_t1", "lt1"), ("Gt2", "m_t2", "lt2")):
+        v = v + d_n * x["Wn"]
+        for key, wkey, mkey, lt in (("Gt1", "Wt1", "m_t1", "lt1"),
+                                    ("Gt2", "Wt2", "m_t2", "lt2")):
             G = x[key]
             vt = jnp.sum(G * v)
-            d_t = x[mkey] * (-vt) * x["active"]
+            d_t = GS_SOR * x[mkey] * (-vt) * x["active"]
             lam = lt1 if lt == "lt1" else lt2
             new_t = jnp.clip(lam[idx] + d_t, -x["MU"] * new_n,
                              x["MU"] * new_n)
@@ -690,20 +736,30 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc):
                 lt1 = lam.at[idx].set(new_t)
             else:
                 lt2 = lam.at[idx].set(new_t)
-            v = v + d_t * G * inv_m
-        return (v, ln, lt1, lt2, idx + 1), None
+            v = v + d_t * x[wkey]
+        return (v, ln, lt1, lt2), None
 
-    lam_n = jnp.zeros(D.shape, _f)
-    lam_t1 = jnp.zeros(D.shape, _f)
-    lam_t2 = jnp.zeros(D.shape, _f)
     v = qvel
-    for _ in range(3):                                        # GS sweeps
-        (v, lam_n, lam_t1, lam_t2, _), _ = jax.lax.scan(
-            one_contact, (v, lam_n, lam_t1, lam_t2, jnp.int32(0)), xs)
+    if warm is not None:
+        # apply last substep's converged impulses up front (gated by the
+        # current active set; the cone bound μ·λn is inherited): the sweeps
+        # below then only *correct*, instead of rebuilding λ from zero
+        # through fresh micro-slip every substep
+        lam_n = warm[:, 0] * active
+        lam_t1 = warm[:, 1] * active
+        lam_t2 = warm[:, 2] * active
+        v = v + lam_n @ Wn + lam_t1 @ Wt1 + lam_t2 @ Wt2
+    else:
+        lam_n = jnp.zeros(D.shape, _f)
+        lam_t1 = jnp.zeros(D.shape, _f)
+        lam_t2 = jnp.zeros(D.shape, _f)
+    for _ in range(GS_SWEEPS):
+        (v, lam_n, lam_t1, lam_t2), _ = jax.lax.scan(
+            one_contact, (v, lam_n, lam_t1, lam_t2), xs)
 
     npair = len(model.contact_pairs)
     pf = jnp.zeros((npair,), _f).at[jnp.asarray(PAIR)].add(lam_n / h)
-    return v, pf
+    return v, pf, jnp.stack([lam_n, lam_t1, lam_t2], -1)
 
 
 def hfield_wrenches(model: Model, kin, terrain):

@@ -1084,6 +1084,18 @@ def step(model: Model, qpos, qvel, ctrl, hfield=None) -> StepOut:
     models). `hfield` is the per-episode terrain elevation grid for models
     with an HFIELD geom (physics/hfield.py); its contact forces are
     appended to `contact_force` after the regular pairs."""
+    out, _ = step_warm(model, qpos, qvel, ctrl, hfield)
+    return out
+
+
+def step_warm(model: Model, qpos, qvel, ctrl, hfield=None, warm=None):
+    """`step` plus the implicit-contact-solver warm-start carry: pass the
+    `warm` λ array returned by the previous substep (None to cold-start;
+    shape (dense.warm_size(model), 3)) and feed the returned one forward.
+    Only meaningful for `model.implicit_contacts` models — `n_steps`
+    threads it through its substep scan so a held grasp keeps its
+    converged contact impulses instead of rebuilding them from zero
+    (which accumulates as a slow hold creep). Returns (StepOut, warm')."""
     from sgqn_carla_tpu.physics import dense
 
     fwd = (dense.forward_dynamics if model.nl >= dense.DENSE_NL
@@ -1111,18 +1123,26 @@ def step(model: Model, qpos, qvel, ctrl, hfield=None) -> StepOut:
         if model.implicit_contacts:
             qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
         if model.implicit_contacts and len(model.contact_pairs):
-            qvel_n, pf = dense.implicit_contact_stage(
-                model, qpos, qvel_n, h, anc)
+            qvel_n, pf, warm = dense.implicit_contact_stage(
+                model, qpos, qvel_n, h, anc, warm)
             # contact impulses may re-violate joint limits (the ball loads
             # the unactuated tip joints): one more implicit limit pass
             qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
         qpos_n = qpos + h * qvel_n
-    return StepOut(qpos_n, qvel_n, pf)
+    return StepOut(qpos_n, qvel_n, pf), warm
 
 
 def n_steps(model: Model, qpos, qvel, ctrl, n: int, hfield=None) -> StepOut:
     """`n` substeps under one held control (dm_control's n_sub_steps,
-    reference: rl/control.py:102-111). Uses lax.scan: one compiled body."""
+    reference: rl/control.py:102-111). Uses lax.scan: one compiled body.
+    For implicit-contact models the solver's warm-start impulses are
+    threaded through the scan carry (cold at the first substep)."""
+    from sgqn_carla_tpu.physics import dense
+
+    if model.implicit_contacts and len(model.contact_pairs):
+        warm0 = jnp.zeros((dense.warm_size(model), 3), jnp.float32)
+        out, _ = n_steps_warm(model, qpos, qvel, ctrl, n, warm0, hfield)
+        return out
 
     def body(carry, _):
         q, qd = carry
@@ -1131,6 +1151,23 @@ def n_steps(model: Model, qpos, qvel, ctrl, n: int, hfield=None) -> StepOut:
 
     (q, qd), pf = jax.lax.scan(body, (qpos, qvel), None, length=n)
     return StepOut(q, qd, pf.max(axis=0))
+
+
+def n_steps_warm(model: Model, qpos, qvel, ctrl, n: int, warm, hfield=None):
+    """`n_steps` threading the implicit solver's warm-start impulses in AND
+    out, so a caller holding per-episode state (Task.step via
+    PhysState.solver_warm) can persist converged contact impulses across
+    control steps — measured to turn the manipulator grasp's slow hold
+    creep into an mj-parity multi-second static hold. Returns
+    (StepOut, warm')."""
+
+    def body(carry, _):
+        q, qd, w = carry
+        out, w = step_warm(model, q, qd, ctrl, hfield, w)
+        return (out.qpos, out.qvel, w), out.contact_force
+
+    (q, qd, warm), pf = jax.lax.scan(body, (qpos, qvel, warm), None, length=n)
+    return StepOut(q, qd, pf.max(axis=0)), warm
 
 
 # ------------------------------------------------------------------ sensors

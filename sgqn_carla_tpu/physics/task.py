@@ -31,6 +31,10 @@ class PhysState(struct.PyTreeNode):
     qvel: jnp.ndarray
     contact_force: jnp.ndarray  # (npair,) latest normal force magnitudes
     task_aux: Any = None        # per-episode task parameters (e.g. target pos)
+    # warm-start impulses of the implicit contact solver (grasp domains):
+    # (dense.warm_size(model), 3) λ(n, t1, t2), persisted across control
+    # steps so static holds keep their converged impulses (None elsewhere)
+    solver_warm: Any = None
 
 
 @dataclass(frozen=False)
@@ -68,11 +72,24 @@ class Task:
         return int(round(self.time_limit / self.control_timestep()))
 
     def init(self, rng) -> PhysState:
-        return self.init_fn(self.model, rng)
+        state = self.init_fn(self.model, rng)
+        if self.model.implicit_contacts and len(self.model.contact_pairs):
+            from sgqn_carla_tpu.physics import dense
+
+            state = state.replace(solver_warm=jnp.zeros(
+                (dense.warm_size(self.model), 3), jnp.float32))
+        return state
 
     def step(self, state: PhysState, ctrl) -> PhysState:
         if self.step_fn is not None:
             return self.step_fn(self.model, self.n_sub_steps, state, ctrl)
+        if state.solver_warm is not None:
+            out, warm = engine.n_steps_warm(
+                self.model, state.qpos, state.qvel, ctrl,
+                self.n_sub_steps, state.solver_warm)
+            return state.replace(qpos=out.qpos, qvel=out.qvel,
+                                 contact_force=out.contact_force,
+                                 solver_warm=warm)
         out = engine.n_steps(self.model, state.qpos, state.qvel, ctrl,
                              self.n_sub_steps)
         return state.replace(qpos=out.qpos, qvel=out.qvel,

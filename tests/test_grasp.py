@@ -74,6 +74,45 @@ def test_gripper_holds_ball(grasp_rollout):
     assert z[-1] > 0.8, f"ball fell to z={z[-1]:.3f} — grasp cannot hold"
 
 
+def test_solver_warm_carry_populated_and_helps(grasp_rollout):
+    """The implicit solver's warm-start carry (PhysState.solver_warm):
+    Task.step must thread a live λ array (positive normal impulses while
+    the ball is squeezed), and warm-threading across control steps must
+    hold the ball at least as high as cold-starting the solver every
+    control step (the cold path rebuilds λ through fresh micro-slip each
+    substep, which accumulates as hold creep)."""
+    from sgqn_carla_tpu.physics import dense
+
+    t, traj = grasp_rollout
+    m = t.model
+    jn = m.joint_names
+    qpos = np.zeros(m.nv)
+    qpos[jn.index("object_x")] = traj[0, jn.index("object_x")]
+    qpos[jn.index("object_z")] = traj[0, jn.index("object_z")]
+    st0 = t.init(jax.random.PRNGKey(0)).replace(
+        qpos=jnp.asarray(qpos, jnp.float32),
+        qvel=jnp.zeros(m.nv, jnp.float32))
+    assert st0.solver_warm is not None
+    assert st0.solver_warm.shape == (dense.warm_size(m), 3)
+
+    step = jax.jit(t.step)
+    ctrl = jnp.zeros(t.action_size).at[4].set(1.0)
+    st_warm = st0
+    st_cold = st0
+    for _ in range(40):
+        st_warm = step(st_warm, ctrl)
+        # cold: discard the carry so every control step rebuilds λ
+        st_cold = step(st_cold, ctrl).replace(
+            solver_warm=jnp.zeros_like(st0.solver_warm))
+    lam_n = np.asarray(st_warm.solver_warm[:, 0])
+    assert lam_n.max() > 0.0, "no positive normal impulse in the carry"
+    zi = m.joint_id("object_z")
+    z_warm = float(st_warm.qpos[zi])
+    z_cold = float(st_cold.qpos[zi])
+    assert z_warm >= z_cold - 1e-3, (
+        f"warm-threaded hold ({z_warm:.3f}) worse than cold ({z_cold:.3f})")
+
+
 def test_grasp_respects_digit_limits(grasp_rollout):
     t, traj = grasp_rollout
     m = t.model
