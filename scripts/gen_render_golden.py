@@ -23,6 +23,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from sgqn_carla_tpu.core.cache import enable_persistent_cache
+
+enable_persistent_cache(".jax_cache_cpu")
+
 from sgqn_carla_tpu.testing.render_goldens import CASES, golden_frame
 from sgqn_carla_tpu.train.video import _write_png
 

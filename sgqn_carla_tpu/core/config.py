@@ -140,7 +140,9 @@ class Config:
 
     # ---- TPU-native additions (no reference equivalent) ----
     num_envs: int = 1            # vectorized env batch per experiment
-    render_size: int = 84        # observation render resolution (pre-crop)
+    render_size: int = 84        # observation render resolution (pre-crop);
+                                 # 84 = derive from the algorithm crop policy
+                                 # (100 for rad/curl/pad/soda)
     eval_render_size: int = 448  # video-recorder resolution (reference: src/video.py:12)
     mesh_data_axis: int = 1      # data-parallel mesh extent (1 = single chip)
     obs_dtype: str = "uint8"
@@ -214,7 +216,10 @@ class Config:
         else:
             updates["image_size"] = 84
             updates["image_crop_size"] = 84
-        updates["render_size"] = updates["image_size"]
+        if self.render_size == 84:  # untouched default → follow crop policy
+            updates["render_size"] = updates["image_size"]
+        else:
+            updates["render_size"] = self.render_size
         if self.replay_capacity == 0:
             updates["replay_capacity"] = min(self.train_steps, 100_000)
         return dataclasses.replace(self, **updates)
@@ -263,7 +268,11 @@ def parse_args(argv=None) -> Config:
             continue  # derived
         arg = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(arg, default=f.default, action="store_true")
+            # BooleanOptionalAction: `--flag` stays reference-compatible AND
+            # default-True extras (resume, ...) get a working `--no-flag`
+            # spelling (plain store_true made them CLI-unswitchable)
+            parser.add_argument(arg, default=f.default,
+                                action=argparse.BooleanOptionalAction)
         elif f.name in _INT_K_FIELDS:
             parser.add_argument(arg, default=f.default, type=str)
         elif f.name == "eval_mode":

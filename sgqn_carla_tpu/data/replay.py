@@ -169,7 +169,16 @@ class ReplayBuffer:
             (state.ep_ptr + 1 + r) % self.num_episodes,
             r,
         )
-        s = jax.random.randint(ks, (batch_size,), 0, self.T)
+        # before ANY episode has completed, the only data is the written
+        # prefix of the in-progress slot (ep_i = r = 0 = ep_ptr): restrict
+        # the step draw to [0, step_ptr) so unwritten zero frames/actions
+        # are never sampled (the reference samples mid-episode transitions
+        # the same way, utils.py ring of transitions). Everywhere else the
+        # in-progress slot is excluded outright (above), so steps span the
+        # full episode.
+        s_hi = jnp.where(state.num_eps == 0,
+                         jnp.maximum(state.step_ptr, 1), self.T)
+        s = jax.random.randint(ks, (batch_size,), 0, s_hi)
         return env_i, ep_i, s
 
     def sample_raw(self, state: ReplayState, rng,

@@ -103,6 +103,18 @@ class Physics:
         self._qpos = np.zeros(self.model.nl, np.float32)
         self._qvel = np.zeros(self.model.nl, np.float32)
         self._ctrl = np.zeros(self.model.nu, np.float32)
+        self._warm = self._warm0()
+
+    def _warm0(self):
+        """Cold implicit-solver warm-start carry (grasp-class models only;
+        None elsewhere) — kept across step() calls so the stateful API gets
+        the same multi-second static holds as Task.step, and reset with the
+        state (see engine.n_steps_warm)."""
+        if self.model.implicit_contacts and len(self.model.contact_pairs):
+            from sgqn_carla_tpu.physics import dense
+
+            return np.zeros((dense.warm_size(self.model), 3), np.float32)
+        return None
 
     @contextlib.contextmanager
     def reset_context(self):
@@ -122,21 +134,29 @@ class Physics:
         if n not in self._run_cache:
             model = self.model
 
-            @jax.jit
-            def run(q, v, u):
-                def body(carry, _):
-                    out = engine.step(model, carry[0], carry[1], u)
-                    return (out.qpos, out.qvel), None
+            if self._warm is not None:
+                @jax.jit
+                def run(q, v, u, w):
+                    out, w = engine.n_steps_warm(model, q, v, u, n, w)
+                    return out.qpos, out.qvel, w
+            else:
+                @jax.jit
+                def run(q, v, u, w):
+                    def body(carry, _):
+                        out = engine.step(model, carry[0], carry[1], u)
+                        return (out.qpos, out.qvel), None
 
-                (q, v), _ = jax.lax.scan(body, (q, v), None, length=n)
-                return q, v
+                    (q, v), _ = jax.lax.scan(body, (q, v), None, length=n)
+                    return q, v, w
 
             self._run_cache[n] = run
-        q, v = self._run_cache[n](
+        q, v, w = self._run_cache[n](
             jnp.asarray(self._qpos), jnp.asarray(self._qvel),
-            jnp.asarray(self._ctrl))
+            jnp.asarray(self._ctrl),
+            None if self._warm is None else jnp.asarray(self._warm))
         self._qpos = np.asarray(q)
         self._qvel = np.asarray(v)
+        self._warm = None if w is None else np.asarray(w)
 
     # -- state access ---------------------------------------------------------
     @property
@@ -158,6 +178,7 @@ class Physics:
     def set_state(self, qpos, qvel) -> None:
         self._qpos = np.asarray(qpos, np.float32).reshape(self.model.nl)
         self._qvel = np.asarray(qvel, np.float32).reshape(self.model.nl)
+        self._warm = self._warm0()  # teleports invalidate contact impulses
 
     def body_xpos(self, name: str) -> np.ndarray:
         """World position of a body's frame origin

@@ -37,14 +37,12 @@ from sgqn_carla_tpu.physics.model import Model
 # beyond this many links the unrolled scalar path's compile time explodes;
 # the dense path takes over (engine.step dispatch)
 DENSE_NL = 12
-# Gauss-Seidel sweeps of the implicit contact solve (implicit_contact_stage)
-# and the successive-over-relaxation factor on its impulse increments (<1 =
-# under-relaxation, damping overshoot from the diagonal effective-mass
-# approximation).
+# Gauss-Seidel sweeps of the implicit contact solve (implicit_contact_stage):
+# velocity-impulse sweeps, positional pseudo-impulse sweeps, and the
+# error-reduction factor of the positional pass.
 GS_SWEEPS = 3
-GS_SOR = 1.0
+POS_SWEEPS = 2
 GS_BETA = 0.2
-GS_SLOP = 0.0
 
 _f = jnp.float32
 
@@ -443,10 +441,17 @@ _PROGRAMS: dict = {}
 
 
 def collision_program(model: Model) -> CollisionProgram:
+    # keyed by id() but identity-verified (a GC'd model's recycled id must
+    # not alias another model's program — same guard as
+    # engine._SCALES_CACHE); the stored model reference also keeps the id
+    # stable for the entry's lifetime
     key = id(model)
-    if key not in _PROGRAMS:
-        _PROGRAMS[key] = CollisionProgram(model)
-    return _PROGRAMS[key]
+    got = _PROGRAMS.get(key)
+    if got is not None and got[0] is model:
+        return got[1]
+    prog = CollisionProgram(model)
+    _PROGRAMS[key] = (model, prog)
+    return prog
 
 
 def _contact_depths_points(model, kin, prog):
@@ -627,8 +632,10 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
     tangential slip, clamped to the Coulomb cone (TRUE stiction: a
     squeezed ball stays held, where the regularized tanh friction of the
     explicit path always creeps). Impulses are applied through the EXACT
-    inverse inertia (W = M⁻¹Gᵀ, one Cholesky per substep) — true PGS on
-    the Delassus operator, the role MuJoCo's PGS/Newton solvers play.
+    damping-implicit inverse inertia (W = (M + h·diag(d))⁻¹Gᵀ, one
+    Cholesky per substep, the same operator as the smooth Euler solve) —
+    true PGS on the Delassus operator, the role MuJoCo's PGS/Newton
+    solvers play.
 
     `warm` is an optional (warm_size(model), 3) array of λ(n, t1, t2)
     from the previous substep (same model ⇒ same static contact-point
@@ -636,7 +643,9 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
     only correct them, which removes the per-substep cold-start
     micro-slip that otherwise accumulates as a slow hold creep.
 
-    Returns (qvel', (npair,) normal force magnitudes, λ for warm).
+    Returns (qvel', (npair,) normal force magnitudes, λ for warm, dq) —
+    `dq` is the split-impulse positional correction the integrator must
+    add to qpos (and ONLY to qpos; see the stabilization note below).
 
     This is the solver-shaped path the grasp domains need; locomotion
     domains keep the golden-validated explicit penalty
@@ -648,7 +657,7 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
     cats = _contact_depths_points(model, kin, prog)
     if not cats:
         return (qvel, jnp.zeros((len(model.contact_pairs),), _f),
-                jnp.zeros((0, 3), _f))
+                jnp.zeros((0, 3), _f), jnp.zeros_like(qvel))
     D = jnp.concatenate([c[0] for c in cats])
     X = jnp.concatenate([c[1] for c in cats])
     N = jnp.concatenate([c[2] for c in cats])
@@ -688,7 +697,15 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
     I6 = spatial_inertias(model, kin)
     anc_f = jnp.asarray(anc, _f)
     M = mass_matrix(model, kin, I6, anc_f)
-    Mreg = M + jnp.float32(1e-9) * jnp.eye(model.nl, dtype=_f)
+    # impulse response must see the same implicit dof damping as the
+    # smooth dynamics solve (forward_dynamics: (M + h·D)·qacc = τ): without h·D a
+    # contact impulse gives a 1e6-damped "pose dof" (manipulator/stacker
+    # receptacles ride on these) a velocity that damping only kills the
+    # NEXT substep — after qpos integration — so sustained contact loads
+    # drift the receptacle ~1000× its documented <0.1 mm budget
+    Mreg = (M
+            + jnp.diag(jnp.asarray(model.jnt_damping, _f)) * jnp.float32(h)
+            + jnp.float32(1e-9) * jnp.eye(model.nl, dtype=_f))
     cho = cho_factor(Mreg, lower=True)
     Wn = cho_solve(cho, Gn.T).T                              # (C, nl)
     Wt1 = cho_solve(cho, Gt1.T).T
@@ -703,10 +720,16 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
 
     # sequential (Gauss-Seidel) projected impulses via lax.scan — Jacobi
     # sweeps oscillate on two-sided pinches (a gripped ball) and creep;
-    # GS converges in a few sweeps. Velocity-level non-penetration with
-    # Baumgarte position correction is force-UNBOUNDED (the point vs the
-    # spring law: the constraint pushes with whatever impulse zeroes the
-    # approach velocity, so gram-scale digits carry newton loads).
+    # GS converges in a few sweeps. Velocity-level non-penetration is
+    # force-UNBOUNDED (the point vs the spring law: the constraint pushes
+    # with whatever impulse zeroes the approach velocity, so gram-scale
+    # digits carry newton loads). Penetration recovery is SPLIT-IMPULSE:
+    # the velocity pass targets vn ≥ 0 only, and a separate positional
+    # pseudo-impulse pass (below) pushes overlap out through qpos without
+    # touching qvel — velocity-level Baumgarte (β·D/h folded into vn_tgt)
+    # hands every pushed-out body real kinetic energy, which a two-sided
+    # pinch (ball resting in the insert-task cup V) alternately amplifies
+    # into a measured exponential blow-up (spin → 1500 rad/s within 0.5 s).
     xs = dict(Gn=Gn, Gt1=Gt1, Gt2=Gt2, Wn=Wn, Wt1=Wt1, Wt2=Wt2,
               m_n=m_n, m_t1=m_t1, m_t2=m_t2,
               D=D, MU=MU, active=active,
@@ -716,9 +739,8 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
         v, ln, lt1, lt2 = carry
         idx = x["i"]
         vn = jnp.sum(x["Gn"] * v)
-        vn_tgt = jnp.maximum(
-            vn, beta * jnp.maximum(x["D"] - jnp.float32(GS_SLOP), 0.0) / h)
-        d_n = GS_SOR * x["m_n"] * (vn_tgt - vn) * x["active"]
+        vn_tgt = jnp.maximum(vn, 0.0)     # non-penetration only, no Baumgarte
+        d_n = x["m_n"] * (vn_tgt - vn) * x["active"]
         new_n = jnp.maximum(ln[idx] + d_n, 0.0)               # λn ≥ 0
         d_n = new_n - ln[idx]
         ln = ln.at[idx].set(new_n)
@@ -727,7 +749,7 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
                                     ("Gt2", "Wt2", "m_t2", "lt2")):
             G = x[key]
             vt = jnp.sum(G * v)
-            d_t = GS_SOR * x[mkey] * (-vt) * x["active"]
+            d_t = x[mkey] * (-vt) * x["active"]
             lam = lt1 if lt == "lt1" else lt2
             new_t = jnp.clip(lam[idx] + d_t, -x["MU"] * new_n,
                              x["MU"] * new_n)
@@ -757,9 +779,28 @@ def implicit_contact_stage(model: Model, qpos, qvel, h, anc, warm=None):
         (v, lam_n, lam_t1, lam_t2), _ = jax.lax.scan(
             one_contact, (v, lam_n, lam_t1, lam_t2), xs)
 
+    # positional pass: pseudo-impulses (normals only, cold each substep)
+    # whose resulting pseudo-velocity integrates into qpos ONLY — overlap
+    # recovers at rate β·D/h with zero kinetic-energy injection
+    def one_pos(carry, x):
+        vp, pn = carry
+        idx = x["i"]
+        vpn = jnp.sum(x["Gn"] * vp)
+        d_p = x["m_n"] * (beta * x["D"] / h - vpn) * x["active"]
+        new_p = jnp.maximum(pn[idx] + d_p, 0.0)
+        d_p = new_p - pn[idx]
+        pn = pn.at[idx].set(new_p)
+        vp = vp + d_p * x["Wn"]
+        return (vp, pn), None
+
+    vp = jnp.zeros_like(qvel)
+    pn = jnp.zeros(D.shape, _f)
+    for _ in range(POS_SWEEPS):
+        (vp, pn), _ = jax.lax.scan(one_pos, (vp, pn), xs)
+
     npair = len(model.contact_pairs)
     pf = jnp.zeros((npair,), _f).at[jnp.asarray(PAIR)].add(lam_n / h)
-    return v, pf, jnp.stack([lam_n, lam_t1, lam_t2], -1)
+    return v, pf, jnp.stack([lam_n, lam_t1, lam_t2], -1), h * vp
 
 
 def hfield_wrenches(model: Model, kin, terrain):

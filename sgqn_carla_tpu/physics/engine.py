@@ -1122,13 +1122,16 @@ def step_warm(model: Model, qpos, qvel, ctrl, hfield=None, warm=None):
         qvel_n = qvel + h * qacc
         if model.implicit_contacts:
             qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
+        dq = jnp.zeros_like(qpos)
         if model.implicit_contacts and len(model.contact_pairs):
-            qvel_n, pf, warm = dense.implicit_contact_stage(
+            qvel_n, pf, warm, dq = dense.implicit_contact_stage(
                 model, qpos, qvel_n, h, anc, warm)
             # contact impulses may re-violate joint limits (the ball loads
             # the unactuated tip joints): one more implicit limit pass
             qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
-        qpos_n = qpos + h * qvel_n
+        # dq: split-impulse positional penetration recovery (qpos only —
+        # adding it to qvel would hand pinched bodies kinetic energy)
+        qpos_n = qpos + h * qvel_n + dq
     return StepOut(qpos_n, qvel_n, pf), warm
 
 

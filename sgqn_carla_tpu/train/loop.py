@@ -76,8 +76,14 @@ def evaluate(agent, astate, env, num_episodes: int, rng,
     venv = VectorEnv(env, num_episodes)
     record = video is not None and video.enabled
     height = video.height if record else 0
+    # id()-keyed but identity-verified: a GC'd agent/env whose id is
+    # recycled must not hit a rollout whose closure captured the OLD
+    # objects (same guard as physics/dense.collision_program). The stored
+    # references also keep the ids stable for the entry's lifetime.
     key = (id(agent), id(env), num_episodes, record, height)
-    rollout = _EVAL_ROLLOUTS.get(key)
+    got = _EVAL_ROLLOUTS.get(key)
+    rollout = (got[2] if got is not None
+               and got[0] is agent and got[1] is env else None)
     if rollout is None:
         def rollout_fn(astate, states, obs):
             def body(carry, _):
@@ -93,7 +99,8 @@ def evaluate(agent, astate, env, num_episodes: int, rng,
                 body, (states, obs), None, length=env.max_episode_steps)
             return rewards.sum(0), frames
 
-        rollout = _EVAL_ROLLOUTS[key] = jax.jit(rollout_fn)
+        rollout = jax.jit(rollout_fn)
+        _EVAL_ROLLOUTS[key] = (agent, env, rollout)
 
     states, obs = venv.reset(rng)
     totals, frames = rollout(astate, states, obs)

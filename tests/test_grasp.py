@@ -113,6 +113,52 @@ def test_solver_warm_carry_populated_and_helps(grasp_rollout):
         f"warm-threaded hold ({z_warm:.3f}) worse than cold ({z_cold:.3f})")
 
 
+def test_receptacle_immobile_under_contact_load():
+    """The insert-task receptacle rides on 1e6-damped "pose dofs" standing
+    in for MuJoCo's per-episode body_pos mutation (manipulator.py module
+    docstring: contact loads of ~10 N must drift it < 0.1 mm over 10 s).
+    The implicit contact solver must honor that: impulses go through the
+    damping-implicit inverse inertia (M + h·diag(d)), or each substep's
+    impulse gives the receptacle a velocity that damping only kills AFTER
+    position integration — a sustained resting ball then drifts the cup
+    ~1000× its budget."""
+    t = load("manipulator", "insert_ball")
+    m = t.model
+    jn = m.joint_names
+    st = t.init(jax.random.PRNGKey(3))
+    qpos = np.asarray(st.qpos).copy()
+    # upright cup at a known pose; ball seated at its resting depth inside
+    # (cup V-bottom is 0.04 below the rec origin, capsule r 0.008, ball
+    # r 0.022) so contact is sustained from the first substep
+    qpos[jn.index("rec_x")] = 0.0
+    qpos[jn.index("rec_z")] = 0.3
+    qpos[jn.index("rec_y")] = 0.0
+    qpos[jn.index("object_x")] = 0.0
+    qpos[jn.index("object_z")] = 0.3 - 0.04 + 0.008 + 0.022
+    qpos[jn.index("object_y")] = 0.0
+    st = st.replace(qpos=jnp.asarray(qpos, jnp.float32),
+                    qvel=jnp.zeros(m.nv, jnp.float32))
+    rec0 = qpos[[jn.index("rec_x"), jn.index("rec_z"), jn.index("rec_y")]]
+    cup_rows = [r for r, (i, j) in enumerate(np.asarray(m.contact_pairs))
+                if "cup" in m.geoms[i].name + m.geoms[j].name
+                and "ball" in m.geoms[i].name + m.geoms[j].name]
+    step = jax.jit(t.step)
+    ctrl = jnp.zeros(t.action_size)
+    touched = 0.0
+    for _ in range(100):          # 1 s of resting contact load
+        st = step(st, ctrl)
+        touched = max(touched,
+                      float(np.asarray(st.contact_force)[cup_rows].max()))
+    q = np.asarray(st.qpos)
+    assert np.isfinite(q).all()
+    assert touched > 0.0, "ball never loaded the cup — test setup is vacuous"
+    rec = q[[jn.index("rec_x"), jn.index("rec_z"), jn.index("rec_y")]]
+    drift = np.abs(rec - rec0).max()
+    assert drift < 5e-4, (
+        f"receptacle pose dofs drifted {drift:.2e} under a resting ball "
+        "(budget < 1e-5/s: contact impulses must see the 1e6 dof damping)")
+
+
 def test_grasp_respects_digit_limits(grasp_rollout):
     t, traj = grasp_rollout
     m = t.model
