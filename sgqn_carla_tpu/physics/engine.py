@@ -30,6 +30,7 @@ All trace-time loops unroll over the static topology; every function is
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple, Tuple
 
 import jax
@@ -68,6 +69,24 @@ class StepOut(NamedTuple):
     contact_force: jnp.ndarray  # (npair,) accumulated normal force magnitudes
 
 
+def f32_matmuls(fn):
+    """Pin every matmul traced inside `fn` to true f32 accumulation.
+
+    The TPU MXU default-lowers f32 dots to bf16×bf16 multiplies (~8
+    mantissa bits); the scalar-component path never emits dots, but the
+    dense path's mass matrix / Cholesky / Delassus products (dense.py,
+    nl ≥ DENSE_NL) do — and at bf16 the fish free-root fluid dynamics
+    accumulate energy until qpos is NaN within ~20 control steps
+    (reproduced on v5e; CPU f32 and TPU-with-f32-precision agree to 1e-4).
+    Physics must be bit-comparable to the CPU golden suite, so every
+    engine entry point trades the (tiny, nl×nl) MXU speedup away."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
+
+
 def _ancestors(model: Model) -> np.ndarray:
     """(nl, nl) bool: anc[i, j] = True iff dof j is i or an ancestor of i."""
     nl = model.nl
@@ -84,6 +103,7 @@ def _const3(a):
     return (jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]))
 
 
+@f32_matmuls
 def forward_kinematics(model: Model, qpos, qvel) -> Kin:
     """Sequential FK over the static chain; all quaternion component math.
 
@@ -1056,6 +1076,7 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc, hfield=None):
     return jnp.stack(qacc, -1), pair_f
 
 
+@f32_matmuls
 def max_penetration(model: Model, qpos) -> jnp.ndarray:
     """Deepest contact penetration at configuration `qpos` (≤ 0 ⇒ free).
     Backs collision-free episode initialization (the reference's retry loop
@@ -1075,6 +1096,7 @@ def max_penetration(model: Model, qpos) -> jnp.ndarray:
     return jnp.max(jnp.stack(depths))
 
 
+@f32_matmuls
 def step(model: Model, qpos, qvel, ctrl, hfield=None) -> StepOut:
     """One physics substep of `model.timestep` seconds.
 
@@ -1088,6 +1110,7 @@ def step(model: Model, qpos, qvel, ctrl, hfield=None) -> StepOut:
     return out
 
 
+@f32_matmuls
 def step_warm(model: Model, qpos, qvel, ctrl, hfield=None, warm=None):
     """`step` plus the implicit-contact-solver warm-start carry: pass the
     `warm` λ array returned by the previous substep (None to cold-start;
@@ -1135,6 +1158,7 @@ def step_warm(model: Model, qpos, qvel, ctrl, hfield=None, warm=None):
     return StepOut(qpos_n, qvel_n, pf), warm
 
 
+@f32_matmuls
 def n_steps(model: Model, qpos, qvel, ctrl, n: int, hfield=None) -> StepOut:
     """`n` substeps under one held control (dm_control's n_sub_steps,
     reference: rl/control.py:102-111). Uses lax.scan: one compiled body.
@@ -1156,6 +1180,7 @@ def n_steps(model: Model, qpos, qvel, ctrl, n: int, hfield=None) -> StepOut:
     return StepOut(q, qd, pf.max(axis=0))
 
 
+@f32_matmuls
 def n_steps_warm(model: Model, qpos, qvel, ctrl, n: int, warm, hfield=None):
     """`n_steps` threading the implicit solver's warm-start impulses in AND
     out, so a caller holding per-episode state (Task.step via
