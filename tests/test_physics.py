@@ -194,3 +194,35 @@ class TestDomains:
         obs = t.observe(state)
         assert obs["orientations"].shape == (14,)
         assert obs["velocity"].shape == (9,)
+
+
+def test_engine_dots_pinned_to_f32_precision():
+    """Every dot_general traced from an engine entry point must carry
+    Precision.HIGHEST: the TPU MXU otherwise default-lowers f32 dots to
+    bf16, which NaN'd the fish free-root fluid dynamics within ~20
+    random-action control steps (engine.f32_matmuls, docs/PERF.md "TPU
+    matmul precision"). Fish exercises the dense path (nl >= DENSE_NL),
+    the only emitter of dots."""
+    t = load("fish", "upright")
+    st = t.init(jax.random.PRNGKey(0))
+    from sgqn_carla_tpu.physics import engine
+
+    jaxpr = jax.make_jaxpr(lambda q, v, u: engine.step(t.model, q, v, u))(
+        st.qpos, st.qvel, jnp.zeros(t.model.nu, jnp.float32))
+    seen = set()
+
+    def walk(jx):
+        for eq in jx.eqns:
+            if eq.primitive.name == "dot_general":
+                seen.add(str(eq.params.get("precision")))
+            for sub in eq.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+                if isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr"):
+                            walk(s.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    assert seen, "fish engine.step emitted no dots — dense path not used?"
+    assert seen == {"(Precision.HIGHEST, Precision.HIGHEST)"}, seen
