@@ -39,6 +39,10 @@ CASES = [
     ("fish", "upright", ["torso"]),
     ("humanoid", "stand", ["torso"]),
     ("quadruped", "walk", ["torso"]),
+    ("lqr", "lqr_2_1", []),
+    ("humanoid_CMU", "stand", ["thorax"]),
+    ("manipulator", "bring_ball", ["hand", "ball"]),
+    ("stacker", "stack_2", ["hand", "box0"]),
 ]
 
 T = 100          # control steps recorded
@@ -46,7 +50,14 @@ SEED = 7
 
 
 def action_sequence(T, nu, lo, hi):
-    """Deterministic, smooth, dim-decorrelated excitation within the spec."""
+    """Deterministic, smooth, dim-decorrelated excitation within the spec.
+
+    Unbounded specs (lqr: ctrllimited=false → dm_control's ±1e10 sentinel)
+    are excited in [-1, 1] — e9-scale raw forces integrate to garbage on
+    both sides of the parity comparison and prove nothing."""
+    if not (np.isfinite(lo).all() and np.isfinite(hi).all()) \
+            or max(np.abs(lo).max(), np.abs(hi).max()) >= 1e6:
+        lo, hi = np.full(nu, -1.0), np.full(nu, 1.0)
     k = np.arange(T)[:, None]
     i = np.arange(nu)[None, :]
     a = 0.7 * np.sin(0.23 * k + 1.7 * i) + 0.2 * np.sin(0.71 * k + 0.4 * i)
@@ -61,7 +72,12 @@ def main():
         os.path.abspath(__file__))), "tests", "golden")
     os.makedirs(out_dir, exist_ok=True)
 
-    for domain, task, bodies in CASES:
+    # optional CLI filter: regenerate only the named domains (so adding a
+    # new case never rewrites the committed goldens of the existing ones)
+    only = set(sys.argv[1:])
+    cases = [c for c in CASES if not only or c[0] in only]
+
+    for domain, task, bodies in cases:
         env = suite.load(domain, task, task_kwargs={"random": SEED})
         ts = env.reset()
         phys = env.physics
@@ -76,7 +92,8 @@ def main():
         xpos = np.zeros((T + 1, len(bodies), 3))
         qpos[0] = phys.data.qpos
         qvel[0] = phys.data.qvel
-        xpos[0] = [phys.named.data.xpos[b] for b in bodies]
+        if bodies:
+            xpos[0] = [phys.named.data.xpos[b] for b in bodies]
 
         # task-level randomized parameters needed to replay rewards
         aux = {}
@@ -90,13 +107,19 @@ def main():
                 pass
         if domain == "point_mass":
             aux["target"] = np.array(phys.named.data.geom_xpos["target"])
+        if domain == "lqr":
+            # stiffnesses are drawn from the task RandomState at model
+            # build time (lqr.py:139-141) — record them so the parity test
+            # can instantiate the SAME linear system
+            aux["stiffness"] = np.array(phys.model.jnt_stiffness)
 
         for t in range(T):
             ts = env.step(acts[t])
             qpos[t + 1] = phys.data.qpos
             qvel[t + 1] = phys.data.qvel
             rew[t] = ts.reward if ts.reward is not None else np.nan
-            xpos[t + 1] = [phys.named.data.xpos[b] for b in bodies]
+            if bodies:
+                xpos[t + 1] = [phys.named.data.xpos[b] for b in bodies]
 
         qpos_names = np.array(phys.named.data.qpos.axes.row.names)
         act_names = np.array([phys.model.actuator(i).name

@@ -26,7 +26,10 @@ from sgqn_carla_tpu.physics.task import PhysState, Task
 _CONTROL_COST_COEF = 0.1  # reference: lqr.py:37
 
 
-def make_model(n_bodies: int, n_actuators: int):
+def make_model(n_bodies: int, n_actuators: int, stiffness=None):
+    """`stiffness`: optional per-joint override (parity tests pass the
+    golden recording's seed-derived values to instantiate the same
+    linear system; default draws the fixed-seed family)."""
     rnd = np.random.RandomState(42)
     b = ModelBuilder(timestep=0.03, integrator="euler")
     b.add_geom(0, PLANE, size=(4, 1, 0.2), material="grid", name="floor",
@@ -39,9 +42,10 @@ def make_model(n_bodies: int, n_actuators: int):
     for i in range(n_bodies):
         pos = (0.25, 0, 0.1) if i == 0 else (0.25, 0, 0)
         body = b.add_body(parent, pos=pos, name=f"body_{i}")
+        k = float(rnd.uniform(15, 25)) if stiffness is None \
+            else float(stiffness[i])
         b.add_joint(body, SLIDE, axis=(0, 1, 0),
-                    stiffness=float(rnd.uniform(15, 25)), damping=0.0,
-                    name=f"joint_{i}")
+                    stiffness=k, damping=0.0, name=f"joint_{i}")
         b.add_geom(body, SPHERE, size=(0.1,), material="self",
                    name=f"geom_{i}", contype=0, conaffinity=0)
         parent = body
@@ -76,8 +80,8 @@ def _reward(model, state: PhysState, kin, ctrl):
     return 1.0 - (state_cost + _CONTROL_COST_COEF * ctrl_cost)
 
 
-def _make(n_bodies, n_actuators, name):
-    model = make_model(n_bodies, n_actuators)
+def _make(n_bodies, n_actuators, name, stiffness=None):
+    model = make_model(n_bodies, n_actuators, stiffness=stiffness)
     return Task(
         name=name, model=model, n_sub_steps=1,
         init_fn=_init, observe_fn=_observe, reward_fn=_reward,
@@ -88,10 +92,10 @@ def _make(n_bodies, n_actuators, name):
 
 
 @register("lqr", "lqr_2_1")
-def lqr_2_1():
-    return _make(2, 1, "lqr_lqr_2_1")
+def lqr_2_1(stiffness=None):
+    return _make(2, 1, "lqr_lqr_2_1", stiffness=stiffness)
 
 
 @register("lqr", "lqr_6_2")
-def lqr_6_2():
-    return _make(6, 2, "lqr_lqr_6_2")
+def lqr_6_2(stiffness=None):
+    return _make(6, 2, "lqr_lqr_6_2", stiffness=stiffness)

@@ -54,10 +54,33 @@ CASES = {
     # 22-dof, 4-leg contact + dyntype=filter servos (task_aux activation
     # replay): measured 0.18@5 / 0.73@25
     ("quadruped", "walk"): [(5, 0.25), (25, 1.0)],
+    # linear system instantiated with the golden's seed-drawn stiffnesses
+    # (TASK_KWARGS) — tracks to f32 roundoff like the other smooth domains
+    ("lqr", "lqr_2_1"): [(100, 1e-4)],
+    # 62-dof free root + 56 hinges, contact-rich: measured 0.28@5 / 0.43@10
+    ("humanoid_CMU", "stand"): [(5, 0.4), (10, 0.6)],
+    # planar arm + grasped ball (implicit contact solver): measured
+    # 0.0044@5, then contact-chaotic 0.81@10
+    ("manipulator", "bring_ball"): [(5, 0.01), (10, 1.1)],
+    # planar arm + 2 boxes: measured 0.0044@5 / 0.011@10
+    ("stacker", "stack_2"): [(5, 0.01), (10, 0.05)],
 }
 
 # free-root (quaternion) golden layouts map onto slide×3 + hinge×3 roots
 FREE_ROOT = {("fish", "upright"), ("humanoid", "stand")}
+
+# per-case task kwargs derived from the golden (lqr: the linear system's
+# stiffnesses are drawn from the recording seed at model build time)
+TASK_KWARGS = {
+    ("lqr", "lqr_2_1"): lambda g: {"stiffness": np.asarray(g["aux_stiffness"])},
+}
+
+# golden joint names -> engine joint names (the manipulator builder names
+# its prop joints "object_*" across bring_ball/bring_peg task variants)
+NAME_ALIASES = {
+    ("manipulator", "bring_ball"): {
+        "ball_x": "object_x", "ball_z": "object_z", "ball_y": "object_y"},
+}
 
 
 def _quat_to_euler_xyz(q):
@@ -75,10 +98,11 @@ def _quat_to_euler_xyz(q):
     return np.array([a, b, c])
 
 
-def _map_state(g, model):
+def _map_state(g, model, aliases=None):
     """Golden (qpos0, qvel0) -> engine (qpos, qvel) by joint name."""
     jn = list(model.joint_names)
-    names = [str(x) for x in g["qpos_names"]]
+    aliases = aliases or {}
+    names = [aliases.get(str(x), str(x)) for x in g["qpos_names"]]
     qpos = np.zeros(model.nv)
     qvel = np.zeros(model.nv)
     gq, gv = np.asarray(g["qpos"][0]), np.asarray(g["qvel"][0])
@@ -138,14 +162,16 @@ def test_golden_trajectory(domain, task_name):
     if not os.path.exists(path):
         pytest.skip(f"no golden recorded for {domain}/{task_name}")
     g = np.load(path)
-    task = domains.load(domain, task_name)
+    kwargs = TASK_KWARGS.get((domain, task_name), lambda g: {})(g)
+    task = domains.load(domain, task_name, **kwargs)
     model = task.model
 
     # control cadence must match the recording exactly
     assert abs(model.timestep * task.n_sub_steps
                - float(g["control_timestep"])) < 1e-9
 
-    qpos0, qvel0, shared_g, shared_ours = _map_state(g, model)
+    qpos0, qvel0, shared_g, shared_ours = _map_state(
+        g, model, NAME_ALIASES.get((domain, task_name)))
     horizons = CASES[(domain, task_name)]
     T = max(h for h, _ in horizons)
     ours = _rollout(task, qpos0, qvel0, np.asarray(g["actions"])[:T])
@@ -163,4 +189,4 @@ def test_golden_trajectory(domain, task_name):
 def test_goldens_exist():
     """The parity suite is only meaningful if goldens are committed."""
     files = glob.glob(os.path.join(GOLDEN_DIR, "*.npz"))
-    assert len(files) >= 14, f"expected >=14 golden files, found {len(files)}"
+    assert len(files) >= 20, f"expected >=20 golden files, found {len(files)}"
