@@ -40,6 +40,7 @@ CASES = [
     ("humanoid", "stand", ["torso"]),
     ("quadruped", "walk", ["torso"]),
     ("lqr", "lqr_2_1", []),
+    ("lqr", "lqr_6_2", []),
     ("humanoid_CMU", "stand", ["thorax"]),
     ("manipulator", "bring_ball", ["hand", "ball"]),
     ("stacker", "stack_2", ["hand", "box0"]),

@@ -57,6 +57,7 @@ CASES = {
     # linear system instantiated with the golden's seed-drawn stiffnesses
     # (TASK_KWARGS) — tracks to f32 roundoff like the other smooth domains
     ("lqr", "lqr_2_1"): [(100, 1e-4)],
+    ("lqr", "lqr_6_2"): [(100, 1e-4)],
     # 62-dof free root + 56 hinges, contact-rich: measured 0.28@5 / 0.43@10
     ("humanoid_CMU", "stand"): [(5, 0.4), (10, 0.6)],
     # planar arm + grasped ball (implicit contact solver): measured
@@ -73,6 +74,7 @@ FREE_ROOT = {("fish", "upright"), ("humanoid", "stand")}
 # stiffnesses are drawn from the recording seed at model build time)
 TASK_KWARGS = {
     ("lqr", "lqr_2_1"): lambda g: {"stiffness": np.asarray(g["aux_stiffness"])},
+    ("lqr", "lqr_6_2"): lambda g: {"stiffness": np.asarray(g["aux_stiffness"])},
 }
 
 # golden joint names -> engine joint names (the manipulator builder names
