@@ -21,6 +21,14 @@ CASES = [
     ("cheetah_run_train", "cheetah", "run", "train", 84),
     ("walker_walk_train_448", "walker", "walk", "train", 448),
     ("carla_drive_train", None, None, "train", 84),
+    # round-3 engine extensions: planar/free-root/ball-joint/implicit-
+    # contact domains get the same regression net
+    ("pendulum_swingup_train", "pendulum", "swingup", "train", 84),
+    ("reacher_easy_train", "reacher", "easy", "train", 84),
+    ("fish_upright_train", "fish", "upright", "train", 84),
+    ("quadruped_walk_train", "quadruped", "walk", "train", 84),
+    ("humanoid_stand_train", "humanoid", "stand", "train", 84),
+    ("manipulator_bring_ball_train", "manipulator", "bring_ball", "train", 84),
 ]
 
 SEED = 123
