@@ -25,6 +25,7 @@ oev() {  # offline eval: <mode> <args...>
 }
 
 run pendulum_seed3 3600 --algorithm drq --domain_name pendulum --task_name swingup --train_steps 100k --seed 3 $COMMON
+run pointmass_seed3 3600 --algorithm drq --domain_name point_mass --task_name easy --train_steps 100k --seed 3 $COMMON
 run acrobot_drq    5400 --algorithm drq --domain_name acrobot  --task_name swingup --train_steps 100k --seed 0 $COMMON
 
 run sgsac_reacher  5400 --algorithm sgsac --domain_name reacher --task_name easy --train_steps 100k --seed 0 \
