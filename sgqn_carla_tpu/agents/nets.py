@@ -167,15 +167,22 @@ class ActorHead(nn.Module):
 
 class QFunction(nn.Module):
     hidden_dim: int = 1024
+    use_layernorm: bool = False  # opt-in (--q_head_layernorm): LayerNorm
+    # before each hidden activation — the standard off-policy-critic
+    # stabilizer; no reference equivalent (modules.py:235-246 is plain MLP)
 
     @nn.compact
     def __call__(self, obs_feat, action, act: Callable = nn.relu):
         h = jnp.concatenate([obs_feat, action], axis=-1)
         h = nn.Dense(self.hidden_dim, kernel_init=_linear_init,
                      bias_init=nn.initializers.zeros)(h)
+        if self.use_layernorm:
+            h = nn.LayerNorm()(h)
         h = act(h)
         h = nn.Dense(self.hidden_dim, kernel_init=_linear_init,
                      bias_init=nn.initializers.zeros)(h)
+        if self.use_layernorm:
+            h = nn.LayerNorm()(h)
         h = act(h)
         return nn.Dense(1, kernel_init=_linear_init,
                         bias_init=nn.initializers.zeros)(h)
@@ -188,11 +195,12 @@ class CriticHead(nn.Module):
 
     hidden_dim: int = 1024
     projection_dim: int = 100
+    q_layernorm: bool = False
 
     def setup(self):
         self.projection = RLProjection(self.projection_dim)
-        self.Q1 = QFunction(self.hidden_dim)
-        self.Q2 = QFunction(self.hidden_dim)
+        self.Q1 = QFunction(self.hidden_dim, self.q_layernorm)
+        self.Q2 = QFunction(self.hidden_dim, self.q_layernorm)
 
     def __call__(self, feats, action, act: Callable = nn.relu):
         h = self.projection(feats)

@@ -72,7 +72,8 @@ class SAC:
         self.actor_def = nets.ActorHead(
             self.action_dim, cfg.hidden_dim, cfg.projection_dim,
             cfg.actor_log_std_min, cfg.actor_log_std_max)
-        self.critic_def = nets.CriticHead(cfg.hidden_dim, cfg.projection_dim)
+        self.critic_def = nets.CriticHead(cfg.hidden_dim, cfg.projection_dim,
+                                          q_layernorm=cfg.q_head_layernorm)
 
         self.actor_tx = optax.adam(cfg.actor_lr, b1=cfg.actor_beta, b2=0.999)
         if cfg.critic_weight_decay:

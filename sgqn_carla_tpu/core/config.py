@@ -175,6 +175,16 @@ class Config:
                                  # at ~reward 430 — pre-collapse Q values are
                                  # honest, not overestimates. Off by default
                                  # (reference parity).
+    q_head_layernorm: bool = False  # LayerNorm before each hidden activation
+                                 # in the twin Q-head MLPs. Stabilizer probe
+                                 # for the late-training collapse study
+                                 # (docs/PERF.md): slot policy / replay
+                                 # corruption / entropy collapse / Q over-
+                                 # estimation are all ruled out; the remaining
+                                 # candidates are critic instability near the
+                                 # reward optimum — critic-LayerNorm is the
+                                 # literature's fix for exactly that class.
+                                 # Off by default (reference parity).
     replay_policy: str = "fifo"  # episode-slot replacement once the ring is
                                  # full: "fifo" (reference semantics) or
                                  # "reservoir" (uniform-random victim slot —

@@ -132,6 +132,20 @@ def test_q_target_clip_bounds_backup():
     assert float(jnp.max(tq2)) > 0.5
 
 
+def test_q_head_layernorm_opt_in():
+    """--q_head_layernorm inserts LayerNorm scale/bias into both Q heads
+    (collapse-study stabilizer probe, core/config.py); the update still runs
+    and is finite; off by default (reference parity: plain MLP heads,
+    modules.py:235-246)."""
+    agent, state, buf, rstate = _mk("sac", q_head_layernorm=True)
+    q1 = state.params["critic"]["Q1"]
+    assert any("LayerNorm" in k for k in q1), sorted(q1)
+    state1, metrics = agent.update(state, rstate, buf)
+    assert np.isfinite(float(metrics["critic_loss"]))
+    agent0, state0, _, _ = _mk("sac")
+    assert not any("LayerNorm" in k for k in state0.params["critic"]["Q1"])
+
+
 class TestGuidedBackprop:
     def test_guided_relu_gates_both(self):
         from sgqn_carla_tpu.ops.guided_backprop import guided_relu
