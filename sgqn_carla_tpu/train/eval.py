@@ -60,17 +60,24 @@ def main(argv=None):
         height=cfg.eval_render_size, width=cfg.eval_render_size,
         enabled=cfg.save_video)
 
+    # distracting_cs results are per-intensity — key the output files so a
+    # multi-intensity sweep doesn't overwrite itself (the reference's
+    # eval.py:107-112 <mode>.pt naming would)
+    mode_tag = cfg.eval_mode or "train"
+    if mode_tag == "distracting_cs":
+        mode_tag += f"_{cfg.distracting_cs_intensity}"
+
     rng = jax.random.PRNGKey(cfg.seed + 1)
     if cfg.algorithm == "pad":
         reward = _evaluate_pad(agent, astate, env, cfg, rng)
     else:
         reward = evaluate(agent, astate, env, cfg.eval_episodes, rng, video,
-                          f"eval_{cfg.eval_mode}.mp4")
+                          f"eval_{mode_tag}.mp4")
     print(f"Average episode reward: {round(reward, 2)}")
 
     out = {"args": {k: str(v) for k, v in cfg.__dict__.items()},
            "step": step, "reward": reward}
-    with open(os.path.join(work_dir, f"eval_{cfg.eval_mode}.json"), "w") as f:
+    with open(os.path.join(work_dir, f"eval_{mode_tag}.json"), "w") as f:
         json.dump(out, f)
     return reward
 
