@@ -18,7 +18,9 @@ FLAG="--algorithm sgsac --domain_name walker --task_name walk --seed 1 --log_dir
 
 oev() {  # offline eval: <mode> [extra args]
   mode=$1; shift
-  timeout 2400 python -m sgqn_carla_tpu.train.eval $FLAG --train_steps 220k \
+  # 200k = the last save_freq=25k multiple the vln16 run actually wrote
+  # (the loop has no terminal save; 220k would silently fall back)
+  timeout 2400 python -m sgqn_carla_tpu.train.eval $FLAG --train_steps 200k \
     --eval_mode "$mode" --eval_episodes 8 "$@" || echo "EVAL $mode FAILED rc=$?"
 }
 
@@ -30,7 +32,22 @@ oev distracting_cs --distracting_cs_intensity 0.1
 oev distracting_cs --distracting_cs_intensity 0.3
 oev distracting_cs --distracting_cs_intensity 0.5
 
-# --- flagship production run (only if the ablation held past ~190k)
+# --- flagship production run, gated on the ablation actually holding:
+# launch only if the vln16 train-mode eval scored above the collapse floor
+# (a collapsed 183k-cliff run evals far below 300)
+VLN16_R=$(python - <<'EOF'
+import json, sys
+try:
+    r = json.load(open("runs/vln16/walker_walk/sgsac/1/eval_train.json"))["reward"]
+except Exception:
+    r = -1
+print(int(float(r)))
+EOF
+)
+if [ "$VLN16_R" -lt 300 ]; then
+  echo "vln16 ablation did not hold (eval_train reward=$VLN16_R < 300); skipping flagship"
+  exit 0
+fi
 timeout 14000 python -m sgqn_carla_tpu.train.train \
   --domain_name walker --task_name walk --algorithm sgsac --train_steps 400k \
   --init_steps 1000 --eval_mode none --num_envs 16 --save_freq 50k --seed 2 \

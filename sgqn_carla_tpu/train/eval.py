@@ -68,41 +68,72 @@ def main(argv=None):
         mode_tag += f"_{cfg.distracting_cs_intensity}"
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
-    if cfg.algorithm == "pad":
-        reward = _evaluate_pad(agent, astate, env, cfg, rng)
-    else:
-        reward = evaluate(agent, astate, env, cfg.eval_episodes, rng, video,
-                          f"eval_{mode_tag}.mp4")
+    episode_rewards = evaluate(agent, astate, env, cfg.eval_episodes, rng,
+                               video, f"eval_{mode_tag}.mp4")
+    reward = float(episode_rewards.mean())
     print(f"Average episode reward: {round(reward, 2)}")
 
+    # per-episode payload: the reference's results .pt records the scalar
+    # only (eval.py:107-112); the collapse/generalization studies need the
+    # across-episode variance, so persist the full array too
     out = {"args": {k: str(v) for k, v in cfg.__dict__.items()},
-           "step": step, "reward": reward}
+           "step": step, "reward": reward,
+           "episode_rewards": [float(r) for r in episode_rewards]}
+
+    if cfg.algorithm == "pad":
+        # PAD reports BOTH the frozen-policy reward above and the test-time
+        # adapted reward (reference: eval.py:94-112 reward + adapt_reward)
+        rng, k_ad = jax.random.split(rng)
+        adapt_rewards = _evaluate_pad(agent, astate, env, cfg, k_ad)
+        out["adapt_reward"] = float(adapt_rewards.mean())
+        out["adapt_episode_rewards"] = [float(r) for r in adapt_rewards]
+        print(f"Adapted episode reward: {round(out['adapt_reward'], 2)}")
+
     with open(os.path.join(work_dir, f"eval_{mode_tag}.json"), "w") as f:
         json.dump(out, f)
     return reward
 
 
-def _evaluate_pad(agent, astate, env, cfg, rng):
+def _evaluate_pad(agent, astate, env, cfg, rng) -> np.ndarray:
     """PAD: adapt the inverse-dynamics head online during evaluation
-    (reference: eval.py:16-41 — per-step update_inverse_dynamics)."""
-    totals = []
-    for ep in range(cfg.eval_episodes):
-        ep_state = astate  # episodic copy (reference deepcopies the agent)
+    (reference: eval.py:16-41 — per-step update_inverse_dynamics, with a
+    fresh agent copy per episode).
+
+    Fused: episodes run in parallel (one per-episode AgentState, vmapped)
+    and the whole act → env step → adapt cadence is one `lax.scan` — one
+    device dispatch per eval instead of one per step. The per-step host
+    loop paid the runtime's fixed ~26 ms dispatch tax twice per step
+    (docs/PERF.md), ~52 s per 1000-step episode."""
+    import jax.numpy as jnp
+
+    from sgqn_carla_tpu.envs.vector import VectorEnv
+
+    n = cfg.eval_episodes
+    venv = VectorEnv(env, n)
+    # episodic agent copies (reference deepcopies the agent per episode)
+    astates = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), astate)
+
+    def body(carry, _):
+        astates, states, obs, rng = carry
         rng, k = jax.random.split(rng)
-        state, obs = env.reset(k)
-        total = 0.0
-        done = False
-        while not done:
-            action = np.asarray(agent.select_action(ep_state, obs))[0]
-            next_state, res = env.step(state, action)
-            rng, k2 = jax.random.split(rng)
-            ep_state, _ = agent.adapt(ep_state, k2, obs, res.obs,
-                                      jax.numpy.asarray(action))
-            total += float(res.reward)
-            done = bool(res.done)
-            state, obs = next_state, res.obs
-        totals.append(total)
-    return float(np.mean(totals))
+        actions = jax.vmap(
+            lambda a, o: agent._select_action(a, o[None])[0])(astates, obs)
+        states, res = venv._step(states, actions)
+        ks = jax.random.split(k, n)
+        astates, _ = jax.vmap(agent.adapt)(astates, ks, obs, res.obs, actions)
+        return (astates, states, res.obs, rng), res.reward
+
+    @jax.jit
+    def rollout(astates, states, obs, rng):
+        (_, _, _, _), rewards = jax.lax.scan(
+            body, (astates, states, obs, rng), None,
+            length=env.max_episode_steps)
+        return rewards.sum(0)
+
+    rng, k_r = jax.random.split(rng)
+    states, obs = venv.reset(k_r)
+    return np.asarray(rollout(astates, states, obs, rng))
 
 
 if __name__ == "__main__":

@@ -64,9 +64,12 @@ def write_info(cfg: Config, work_dir: str):
 
 def evaluate(agent, astate, env, num_episodes: int, rng,
              video: Optional[VideoRecorder] = None,
-             video_name: str = "") -> float:
+             video_name: str = "") -> np.ndarray:
     """Run `num_episodes` eval episodes in parallel (one env per episode),
-    deterministic policy (reference: train.py:29-64 evaluate).
+    deterministic policy (reference: train.py:29-64 evaluate). Returns the
+    per-episode reward array — callers take `.mean()` for the headline
+    number; offline eval persists the full array so episode variance is
+    reportable (reference eval.py:107-112 role).
 
     The whole rollout — act → step (→ 448² render for the video) — is one
     jitted `lax.scan`: a single device dispatch and a single host pull per
@@ -108,7 +111,7 @@ def evaluate(agent, astate, env, num_episodes: int, rng,
         video.record_frames(frames)
     if video is not None:
         video.save(video_name)
-    return float(np.asarray(totals).mean())
+    return np.asarray(totals)
 
 
 # trace-cached fused eval rollouts, keyed by (agent, env, episodes, video)
@@ -376,13 +379,13 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             rng, k_ev = jax.random.split(rng)
             video.init(enabled=True)
             L.log("eval/episode_reward",
-                  evaluate(agent, astate, env, cfg.eval_episodes, k_ev,
-                           video, f"{step}.mp4"), step)
+                  float(evaluate(agent, astate, env, cfg.eval_episodes, k_ev,
+                                 video, f"{step}.mp4").mean()), step)
             for te, tm in zip(test_envs, test_modes):
                 rng, k_te = jax.random.split(rng)
                 L.log(f"eval/episode_reward_test_env_{tm}",
-                      evaluate(agent, astate, te, cfg.eval_episodes, k_te),
-                      step)
+                      float(evaluate(agent, astate, te, cfg.eval_episodes,
+                                     k_te).mean()), step)
             L.dump(step)
 
         # ---- SGQN attribution imagery every 10k steps

@@ -115,6 +115,35 @@ def test_collapse_guard_rollback(tmp_path, monkeypatch):
         assert np.isfinite(v)
 
 
+def test_offline_eval_pad_payload(tmp_path):
+    """Offline eval driver: per-episode reward payload (round-2 item #9) and
+    the PAD branch reporting BOTH the frozen reward and the fused test-time
+    adaptation reward (reference: eval.py:94-112; round-2 item #6)."""
+    cfg = _tiny_cfg(tmp_path, algorithm="pad", train_steps=4, save_freq=4)
+    run_training(cfg)
+
+    from sgqn_carla_tpu.train import eval as eval_mod
+    argv = []
+    for k in ("domain_name", "task_name", "algorithm", "train_steps",
+              "episode_length", "action_repeat", "eval_episodes",
+              "batch_size", "num_shared_layers", "num_filters", "hidden_dim",
+              "projection_dim", "log_dir", "seed"):
+        argv += [f"--{k}", str(getattr(cfg, k))]
+    argv += ["--eval_mode", "train"]
+    eval_mod.main(argv)
+
+    wd = work_dir_for(cfg)
+    out = json.load(open(os.path.join(wd, "eval_train.json")))
+    assert out["step"] == 4
+    assert len(out["episode_rewards"]) == cfg.eval_episodes
+    assert np.isclose(out["reward"], np.mean(out["episode_rewards"]))
+    # PAD adaptation branch: fused scan, per-episode payload
+    assert len(out["adapt_episode_rewards"]) == cfg.eval_episodes
+    assert np.isclose(out["adapt_reward"],
+                      np.mean(out["adapt_episode_rewards"]))
+    assert np.isfinite(out["adapt_reward"])
+
+
 def test_run_training_multichip_mesh(tmp_path):
     """Driver-level 8-device sharded training (round-1 VERDICT missing #1):
     run_training with mesh_data_axis=8 over the virtual CPU mesh."""
