@@ -41,7 +41,13 @@ def make_agent(obs_shape: Tuple[int, ...], action_shape: Tuple[int, ...],
         from sgqn_carla_tpu.core.config import resolve_data_dir
 
         data_dir = resolve_data_dir(cfg)
-        ext = os.path.join(data_dir, "overlay") if data_dir else ""
+        # pre-converted .npy pool under overlay/, else the dataset root
+        # (where a real places365_standard JPEG tree lives — the reference
+        # layout, augmentations.py:27-30)
+        ext = ""
+        if data_dir:
+            ov = os.path.join(data_dir, "overlay")
+            ext = ov if os.path.isdir(ov) else data_dir
         overlay_pool = jnp.asarray(
             get_overlay_pool(cfg.image_crop_size, cfg.image_crop_size,
                              seed=cfg.seed, external_dir=ext))

@@ -15,6 +15,8 @@ self_rgb, skybox_rgb/rgb2/markrgb.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,9 +39,26 @@ _DEFAULTS = {
 }
 
 
-def make_color_table(mode: str, seed: int = 0) -> dict:
-    """Returns {field: (NUM_COLORS, 3) float32} device-ready arrays."""
+def make_color_table(mode: str, seed: int = 0,
+                     external_dir: str = "") -> dict:
+    """Returns {field: (NUM_COLORS, 3) float32} device-ready arrays.
+
+    When `external_dir` holds the real DMCGB ``color_{easy,hard}.pt`` torch
+    pickle, its rows are used verbatim (reference: env/wrappers.py:117-123);
+    otherwise the table is generated procedurally."""
     assert mode in ("color_easy", "color_hard"), mode
+    if external_dir:
+        from sgqn_carla_tpu.data.formats import load_color_table_pt
+
+        ext = load_color_table_pt(os.path.join(external_dir, f"{mode}.pt"))
+        if ext is not None:
+            table = {}
+            for f in _FIELDS:
+                c = ext.get(f)
+                if c is None:  # field absent from the pickle: keep default
+                    c = np.tile(_DEFAULTS[f][None], (NUM_COLORS, 1))
+                table[f] = jnp.asarray(np.clip(c, 0.0, 1.0), jnp.float32)
+            return table
     rng = np.random.RandomState(seed + (1 if mode == "color_hard" else 0))
     table = {}
     for f in _FIELDS:

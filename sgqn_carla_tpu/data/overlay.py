@@ -68,6 +68,19 @@ def load_external(path: str, height: int, width: int):
 def get_overlay_pool(height: int = 84, width: int = 84, seed: int = 0,
                      external_dir: str = "", num: int = DEFAULT_POOL) -> np.ndarray:
     ext = load_external(external_dir, height, width)
+    if ext is None and external_dir:
+        # real Places365-style JPEG trees (reference: augmentations.py:17-62
+        # ImageFolder over places365_standard/<partition>/<class>/*.jpg);
+        # prefer the standard layout dir when present, else read the dir as
+        # an image tree directly
+        from sgqn_carla_tpu.data.formats import load_image_tree
+
+        for sub in (os.path.join("places365_standard", "train"),
+                    os.path.join("places365_standard", "val"), ""):
+            ext = load_image_tree(os.path.join(external_dir, sub),
+                                  height, width, seed=seed)
+            if ext is not None:
+                break
     if ext is not None:
         return ext
     return synth_images(num, height, width, seed)

@@ -81,7 +81,14 @@ def get_videos(mode: str, height: int, width: int, seed: int = 0,
                external_dir: str = "") -> np.ndarray:
     num = NUM_EASY if mode == "video_easy" else NUM_HARD
     if external_dir:
-        ext = load_external(os.path.join(external_dir, mode), height, width)
+        # real DMCGB artifacts first: video_{easy,hard}/video<i>.mp4
+        # (reference: env/wrappers.py:439-449 paths, :451-479 cv2 decode)
+        from sgqn_carla_tpu.data.formats import load_mp4_dir
+
+        ext = load_mp4_dir(os.path.join(external_dir, mode), height, width)
+        if ext is None:  # pre-converted .npy clips as the fallback format
+            ext = load_external(os.path.join(external_dir, mode), height,
+                                width)
         if ext is not None:
             return ext
     return synth_videos(num, DEFAULT_FRAMES, height, width,

@@ -81,7 +81,8 @@ class DMCPixelEnv:
         self.action_size = self.task.action_size
 
         self.color_table = (
-            make_color_table(mode, seed) if mode.startswith("color") else None
+            make_color_table(mode, seed, external_data_dir)
+            if mode.startswith("color") else None
         )
         if mode.startswith("video"):
             vids = get_videos(mode, image_size, image_size, seed,
@@ -121,7 +122,10 @@ class DMCPixelEnv:
 
     def _episode_appearance(self, rng) -> Appearance:
         if self.color_table is not None:
-            idx = jax.random.randint(rng, (), 0, NUM_COLORS)
+            # row count from the table itself: external .pt tables may
+            # carry more than the procedural NUM_COLORS rows
+            n = self.color_table["self_rgb"].shape[0]
+            idx = jax.random.randint(rng, (), 0, n)
             return appearance_from_color(self.task.model, self.color_table, idx)
         return self._default_app
 
