@@ -195,21 +195,51 @@ class SAC:
             target_q = jnp.clip(target_q, -c, c)
         return jax.lax.stop_gradient(target_q)
 
+    def update_context(self, state: AgentState, batch: Batch, rng):
+        """Per-update precomputation shared between the critic and aux
+        losses (None for plain SAC). SGQN computes its guided-backprop
+        attribution mask once here instead of once in the critic loss and
+        again in the aux step (round-2 item #2)."""
+        return None
+
     def critic_loss_fn(self, params, state: AgentState, batch: Batch,
-                       target_q, rng) -> Tuple[jnp.ndarray, Dict]:
+                       target_q, rng, ctx=None) -> Tuple[jnp.ndarray, Dict]:
         q1, q2 = self.critic_forward(params, batch.obs.astype(jnp.float32),
                                      batch.action)
         loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
-        return loss, {"critic_loss": loss}
+        return loss, {"critic_loss": loss,
+                      **self._critic_diag(q1, q2, batch)}
 
-    def update_critic(self, state: AgentState, batch: Batch, rng):
+    def _critic_diag(self, q1, q2, batch: Batch) -> Dict:
+        """Collapse-study diagnostics (docs/PERF.md open trigger): Q level,
+        twin disagreement, and the batch reward level — logged every update
+        so a late-training Q-divergence event has a measured signature
+        instead of a post-hoc guess. Costs a few reductions."""
+        return {
+            "q1_mean": jnp.mean(jax.lax.stop_gradient(q1)),
+            "q_twin_gap": jnp.mean(jnp.abs(jax.lax.stop_gradient(q1 - q2))),
+            "batch_reward": jnp.mean(batch.reward),
+        }
+
+    def _target_lag(self, state: AgentState) -> jnp.ndarray:
+        """‖critic − target‖ / ‖critic‖ over the Q heads: how far the online
+        critic has run from its target (drift candidate for the collapse
+        trigger, docs/PERF.md)."""
+        heads = {k: v for k, v in state.params["critic"].items()
+                 if k != "projection"}
+        theads = {k: v for k, v in state.target_params["critic"].items()
+                  if k != "projection"}
+        diff = jax.tree_util.tree_map(lambda a, b: a - b, heads, theads)
+        return optax.global_norm(diff) / (optax.global_norm(heads) + 1e-8)
+
+    def update_critic(self, state: AgentState, batch: Batch, rng, ctx=None):
         k_t, k_l = jax.random.split(rng)
         target_q = self.critic_target_values(state, batch, k_t)
         c_params = {"trunk": state.params["trunk"],
                     "critic": state.params["critic"]}
         (loss, metrics), grads = jax.value_and_grad(
             self.critic_loss_fn, has_aux=True)(
-                c_params, state, batch, target_q, k_l)
+                c_params, state, batch, target_q, k_l, ctx)
         updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
                                                  c_params)
         new_c = optax.apply_updates(c_params, updates)
@@ -282,16 +312,17 @@ class SAC:
 
     # ---------------------------------------------------------------- update
     def update_aux(self, state: AgentState, batch: Batch,
-                   buffer: ReplayBuffer, rstate: ReplayState, rng):
+                   buffer: ReplayBuffer, rstate: ReplayState, rng, ctx=None):
         return state, {}
 
     def _update(self, state: AgentState, rstate: ReplayState,
                 buffer: ReplayBuffer):
-        rng, k_s, k_c, k_a, k_x = jax.random.split(state.rng, 5)
+        rng, k_s, k_c, k_a, k_x, k_ctx = jax.random.split(state.rng, 6)
         state = state.replace(rng=rng)
         batch = self.sample_batch(buffer, rstate, k_s)
+        ctx = self.update_context(state, batch, k_ctx)
 
-        state, c_metrics = self.update_critic(state, batch, k_c)
+        state, c_metrics = self.update_critic(state, batch, k_c, ctx)
 
         def do_actor(s):
             s2, m = self.update_actor_and_alpha(s, batch, k_a)
@@ -310,9 +341,11 @@ class SAC:
             state.step % self.critic_target_update_freq == 0,
             self.soft_update_targets, lambda s: s, state)
 
-        state, x_metrics = self.update_aux(state, batch, buffer, rstate, k_x)
+        state, x_metrics = self.update_aux(state, batch, buffer, rstate, k_x,
+                                           ctx)
         state = state.replace(step=state.step + 1)
-        return state, {**c_metrics, **a_metrics, **x_metrics}
+        return state, {**c_metrics, **a_metrics, **x_metrics,
+                       "target_lag": self._target_lag(state)}
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _update_jit(self, state, rstate, buffer):

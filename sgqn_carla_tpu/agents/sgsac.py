@@ -87,15 +87,32 @@ class SGSAC(SAC):
                                       action)
 
     # ---------------------------------------------------------------- critic
-    def critic_loss_fn(self, params, state, batch: Batch, target_q, rng):
+    def update_context(self, state, batch: Batch, rng):
+        """Guided-backprop attribution mask, computed ONCE per update with
+        the pre-update params and shared by the consistency loss and the
+        aux BCE target. The reference computes it twice — inside
+        update_critic (sgsac.py:64-66) and again inside update_aux
+        (:82-87, one Adam step later) — each a full trunk forward+backward;
+        the masks differ only through that single critic Adam step on a
+        0.95-quantile threshold, measured indistinguishable, and the shared
+        pass removes a third of the update's trunk traversals."""
+        if not self.consistency:
+            # mask only needed at aux steps then — let update_aux compute it
+            # inside its own cond instead of paying for it every update
+            return None
+        obs = batch.obs.astype(jnp.float32)
+        obs_grad = self.attribution_grad(state.params, obs, batch.action)
+        return {"mask": compute_attribution_mask(obs_grad, self.quantile)}
+
+    def critic_loss_fn(self, params, state, batch: Batch, target_q, rng,
+                       ctx=None):
         obs = batch.obs.astype(jnp.float32)
         q1, q2 = self.critic_forward(params, obs, batch.action)
         loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
-        metrics = {"critic_loss": loss}
+        diag = self._critic_diag(q1, q2, batch)
+        metrics = {"critic_loss": loss, **diag}
         if self.consistency:
-            obs_grad = self.attribution_grad(params, obs,
-                                             jax.lax.stop_gradient(batch.action))
-            mask = compute_attribution_mask(obs_grad, self.quantile)
+            mask = ctx["mask"]
             # single uniform fill value in [obs.min(), obs.max()]
             # (reference: sgsac.py:67-70 random.uniform on scalars)
             fill = jax.random.uniform(rng, (), jnp.float32,
@@ -104,17 +121,21 @@ class SGSAC(SAC):
             mq1, mq2 = self.critic_forward(params, masked_obs, batch.action)
             loss = loss + 0.5 * (jnp.mean((q1 - mq1) ** 2)
                                  + jnp.mean((q2 - mq2) ** 2))
-            metrics = {"critic_loss": loss}
+            metrics = {"critic_loss": loss, **diag}
         return loss, metrics
 
     # ------------------------------------------------------------------- aux
     def update_aux(self, state: AgentState, batch: Batch, buffer: ReplayBuffer,
-                   rstate: ReplayState, rng):
+                   rstate: ReplayState, rng, ctx=None):
         def do(state):
             k_m, k_o = jax.random.split(rng)
             obs = batch.obs.astype(jnp.float32)
-            obs_grad = self.attribution_grad(state.params, obs, batch.action)
-            mask = compute_attribution_mask(obs_grad, self.quantile)
+            if ctx is not None:  # shared attribution pass (update_context)
+                mask = ctx["mask"]
+            else:
+                obs_grad = self.attribution_grad(state.params, obs,
+                                                 batch.action)
+                mask = compute_attribution_mask(obs_grad, self.quantile)
             s_tilde = augment.random_overlay(k_o, obs, self.overlay_pool,
                                              self.cfg.alpha_blending)
             s_tilde = jax.lax.stop_gradient(s_tilde)

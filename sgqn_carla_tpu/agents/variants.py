@@ -48,7 +48,8 @@ class SVEA(SAC):
     name = "svea"
     sample_batch = DrQ.sample_batch
 
-    def critic_loss_fn(self, params, state, batch: Batch, target_q, rng):
+    def critic_loss_fn(self, params, state, batch: Batch, target_q, rng,
+                       ctx=None):
         a, b = self.cfg.svea_alpha, self.cfg.svea_beta
         obs = batch.obs.astype(jnp.float32)
         obs_aug = augment.random_overlay(rng, obs, self.overlay_pool,
@@ -67,7 +68,9 @@ class SVEA(SAC):
             q1a, q2a = self.critic_forward(params, obs_aug, batch.action)
             loss = loss + b * (jnp.mean((q1a - target_q) ** 2)
                                + jnp.mean((q2a - target_q) ** 2))
-        return loss, {"critic_loss": loss}
+        half = batch.obs.shape[0]
+        return loss, {"critic_loss": loss,
+                      **self._critic_diag(q1[:half], q2[:half], batch)}
 
 
 class CURL(SAC):
@@ -113,7 +116,8 @@ class CURL(SAC):
                                   feats, method=nets.CriticHead.encode)
         return jax.lax.stop_gradient(z) if stop else z
 
-    def update_aux(self, state: AgentState, batch: Batch, buffer, rstate, rng):
+    def update_aux(self, state: AgentState, batch: Batch, buffer, rstate, rng,
+                   ctx=None):
         def do(state):
             cparams = self._curl_params(state.params, state.aux_params)
 
@@ -186,7 +190,8 @@ class PAD(SAC):
         return self.pad_mlp_def.apply({"params": full_params["mlp"]},
                                       enc(obs), enc(next_obs))
 
-    def update_aux(self, state: AgentState, batch: Batch, buffer, rstate, rng):
+    def update_aux(self, state: AgentState, batch: Batch, buffer, rstate, rng,
+                   ctx=None):
         def do(state):
             full = {"trunk": state.params["trunk"], **state.aux_params}
 
@@ -280,7 +285,7 @@ class SODA(SAC):
         return h, new_stats
 
     def update_aux(self, state: AgentState, batch: Batch, buffer: ReplayBuffer,
-                   rstate: ReplayState, rng):
+                   rstate: ReplayState, rng, ctx=None):
         def do(state):
             k0, k1, k2, k3 = jax.random.split(rng, 4)
             x = buffer.sample_obs_only(rstate, k0, self.cfg.soda_batch_size)
