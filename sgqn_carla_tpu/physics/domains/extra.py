@@ -247,6 +247,19 @@ def _hopper(hopping, name):
                  mode="trackcom", body=torso)
     for nm, gear in (("waist", 30), ("hip", 40), ("knee", 30), ("ankle", 10)):
         b.add_actuator(nm, gear=float(gear))
+    # Penalty friction is explicit-unstable for hopper's single-foot stance:
+    # the interaction probes (scripts/probe_hopper.py) showed a settled
+    # stance with qvel[rootx]=1.5 being launched backwards at -15 m/s and
+    # all-negative torque bursts injecting 5 m/s of energy. The implicit
+    # velocity-level impulse solve (same as manipulator/stacker) holds
+    # stiction and keeps toe-off impulses at MuJoCo levels — but the
+    # limits stay on the soft explicit springs: hopper's gait presses
+    # joints into their ranges every hop, and the authority-floored
+    # implicit limit stage both hard-stops that (real MuJoCo overshoots
+    # the waist range by ~14% under full torque) and damps legitimate
+    # escape from a violated range (the airborne knee probe).
+    b.implicit_contacts = True
+    b.implicit_limits = False
     model = b.finalize()
 
     _TORSO, _FOOT = 2, 6  # links: rootx=0, rootz=1, rooty=2, waist=3, ...

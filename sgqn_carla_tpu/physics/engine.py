@@ -916,7 +916,7 @@ def _limit_gains(model: Model):
     k0, b0, imp = _soft_gains(model)
     k = imp * dof_m * k0
     c = imp * dof_m * b0
-    if not model.implicit_contacts:
+    if not model.implicit_limits:
         # explicit path (golden-validated): base solref gains unchanged
         return k, c
     if model.act_moment is not None and model.act_moment.size:
@@ -932,7 +932,7 @@ def _limit_gains(model: Model):
         k_new = np.maximum(k, k_auth)
         c = np.where(k_new > k, 2.0 * np.sqrt(k_new * dof_m), c)
         k = k_new
-    if model.implicit_contacts:
+    if model.implicit_limits:
         # contact impulses can load UNACTUATED limited dofs (gripper tip
         # joints carrying the squeezed ball): floor their stiffness too —
         # free under the implicit integration
@@ -1028,7 +1028,7 @@ def applied_taus(model: Model, qpos, qvel, ctrl):
     if np.any(model.jnt_frictionloss):
         tau_vec = tau_vec - jnp.asarray(
             model.jnt_frictionloss, jnp.float32) * jnp.tanh(qvel / 0.01)
-    if not model.implicit_contacts:
+    if not model.implicit_limits:
         # golden-validated explicit limit springs (coupled through M⁻¹
         # within the substep). Grasp-class models instead integrate limits
         # implicitly in step() (_implicit_limit_stage) so the spring can
@@ -1143,7 +1143,7 @@ def step_warm(model: Model, qpos, qvel, ctrl, hfield=None, warm=None):
     else:  # semi-implicit Euler (MuJoCo default)
         qacc, pf = fwd(model, qpos, qvel, ctrl, anc, hfield)
         qvel_n = qvel + h * qacc
-        if model.implicit_contacts:
+        if model.implicit_limits:
             qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
         dq = jnp.zeros_like(qpos)
         if model.implicit_contacts and len(model.contact_pairs):
@@ -1151,7 +1151,8 @@ def step_warm(model: Model, qpos, qvel, ctrl, hfield=None, warm=None):
                 model, qpos, qvel_n, h, anc, warm)
             # contact impulses may re-violate joint limits (the ball loads
             # the unactuated tip joints): one more implicit limit pass
-            qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
+            if model.implicit_limits:
+                qvel_n = _implicit_limit_stage(model, qpos, qvel_n, h)
         # dq: split-impulse positional penetration recovery (qpos only —
         # adding it to qvel would hand pinched bodies kinetic energy)
         qpos_n = qpos + h * qvel_n + dq

@@ -238,6 +238,7 @@ class ModelBuilder:
         self._tendon_bodies: List[Tuple] = []
         self.contact_solref = (0.02, 1.0)
         self.implicit_contacts = False
+        self.implicit_limits = None  # None → follow implicit_contacts
         # MuJoCo <contact><exclude body1= body2=> pairs (body indices)
         self.excluded_body_pairs: List[Tuple[int, int]] = []
 
@@ -625,6 +626,9 @@ class ModelBuilder:
             viscosity=self.viscosity,
             contact_solref=tuple(self.contact_solref),
             implicit_contacts=bool(self.implicit_contacts),
+            implicit_limits=bool(self.implicit_contacts
+                                 if self.implicit_limits is None
+                                 else self.implicit_limits),
             hfield_geom=hfield_geom,
             hfield_pairs=tuple(hfield_pairs),
         )
@@ -722,6 +726,18 @@ class Model:
     # (manipulator/stacker); locomotion domains keep the golden-validated
     # explicit path.
     implicit_contacts: bool = False
+    # True → joint limits are integrated as authority-floored implicit
+    # impulses (engine._implicit_limit_stage — needed when strong actuators
+    # load light limited dofs, e.g. manipulator digits). False → the
+    # golden-validated explicit soft limit springs (MuJoCo solref
+    # semantics, with overshoot). Defaults to `implicit_contacts`, but a
+    # contact-rich LOCOMOTION model wants implicit contacts WITH soft
+    # limits: hopper's gait presses joints into their ranges every hop,
+    # and the stiff implicit stage both over-constrains that and damps
+    # legitimate escape motion (scripts/probe_hopper.py: knee released
+    # from below its 5° lower bound under +1 torque moved 0.14 rad vs
+    # real MuJoCo's 0.68 before this split).
+    implicit_limits: bool = False
     # heightfield terrain (quadruped escape): geom index of the HFIELD geom
     # (size = (half_x, half_y, z_scale, z_base), pos z = base offset) and the
     # static sample-point decomposition of every geom that collides with it:
