@@ -44,6 +44,9 @@ class AgentState(struct.PyTreeNode):
     aux_params: Any = None      # algorithm-specific (CURL W, SGQN decoder, ...)
     aux_opt: Any = None
     aux_extra: Any = None       # e.g. SODA target predictor / batch stats
+    critic_loss_ema: Any = None  # running critic-loss EMA for the TD-anomaly
+    #                              gate (cfg.td_anomaly_gate, docs/PERF.md
+    #                              collapse study); None when the gate is off
 
 
 class SAC:
@@ -139,6 +142,8 @@ class SAC:
             alpha_opt=self.alpha_tx.init(jnp.zeros(())),
             step=jnp.int32(0),
             rng=k_next,
+            critic_loss_ema=(jnp.float32(0.0)
+                             if self.cfg.td_anomaly_gate > 0 else None),
         )
         return self.init_aux(state, rng)
 
@@ -232,6 +237,10 @@ class SAC:
         diff = jax.tree_util.tree_map(lambda a, b: a - b, heads, theads)
         return optax.global_norm(diff) / (optax.global_norm(heads) + 1e-8)
 
+    # TD-anomaly gate: updates younger than this never gate (the loss EMA
+    # is still settling through the early fast-decay phase)
+    GATE_WARMUP = 2000
+
     def update_critic(self, state: AgentState, batch: Batch, rng, ctx=None):
         k_t, k_l = jax.random.split(rng)
         target_q = self.critic_target_values(state, batch, k_t)
@@ -240,8 +249,36 @@ class SAC:
         (loss, metrics), grads = jax.value_and_grad(
             self.critic_loss_fn, has_aux=True)(
                 c_params, state, batch, target_q, k_l, ctx)
-        updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
-                                                 c_params)
+        if state.critic_loss_ema is not None:
+            # TD-anomaly gate (cfg.td_anomaly_gate): the measured collapse
+            # onset (docs/PERF.md) is a critic-loss burst ~10× its running
+            # level that poisons the policy within one episode chunk. A
+            # bursting update contributes a gradient that is mostly
+            # target-error noise — freeze params AND optimizer moments
+            # through it. jnp.where keeps the whole update one fused jitted
+            # program (no host round-trip, no lax.cond re-trace).
+            ema = state.critic_loss_ema
+            armed = (state.step >= self.GATE_WARMUP) & (ema > 0)
+            burst = armed & (loss > jnp.float32(self.cfg.td_anomaly_gate) * ema)
+            keep = jnp.where(burst, 0.0, 1.0).astype(jnp.float32)
+            grads = jax.tree_util.tree_map(lambda g: g * keep, grads)
+            updates, opt2 = self.critic_tx.update(grads, state.critic_opt,
+                                                  c_params)
+            new_opt = jax.tree_util.tree_map(
+                lambda a, b: keep * b + (1 - keep) * a
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else b,
+                state.critic_opt, opt2)
+            updates = jax.tree_util.tree_map(lambda u: u * keep, updates)
+            # the EMA ignores burst losses (they would drag the threshold up
+            # and disarm the gate for the very next update)
+            ema = jnp.where(burst, ema,
+                            jnp.where(state.step == 0, loss,
+                                      0.99 * ema + 0.01 * loss))
+            state = state.replace(critic_loss_ema=ema)
+            metrics = {**metrics, "td_gate_fired": burst.astype(jnp.float32)}
+        else:
+            updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
+                                                     c_params)
         new_c = optax.apply_updates(c_params, updates)
         params = dict(state.params)
         params["trunk"] = new_c["trunk"]

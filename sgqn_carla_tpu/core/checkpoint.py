@@ -10,6 +10,7 @@ are full-state orbax saves: agent params + optimizer states + RNG + step
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -57,7 +58,13 @@ def restore(path: str, step: int, like: Any) -> Optional[Any]:
         if not os.path.exists(target):
             return None
         ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(target, item=_np_tree(like))
+        try:
+            restored = ckpt.restore(target, item=_np_tree(like))
+        except Exception as e:  # structure drift (e.g. a checkpoint written
+            # before AgentState gained a field): treat as not-restorable
+            # rather than crashing the resume/rollback path
+            print(f"checkpoint restore failed for {target}: {e}")
+            return None
 
         def back(l, r):
             la = np.asarray(l)
@@ -71,8 +78,54 @@ def restore(path: str, step: int, like: Any) -> Optional[Any]:
         return None
     data = np.load(f)
     flat, treedef = jax.tree_util.tree_flatten(like)
-    return jax.tree_util.tree_unflatten(
-        treedef, [data[str(i)] for i in range(len(flat))])
+    try:
+        return jax.tree_util.tree_unflatten(
+            treedef, [data[str(i)] for i in range(len(flat))])
+    except KeyError as e:
+        print(f"checkpoint restore failed for {f}: {e}")
+        return None
+
+
+def record_health(path: str, step: int, ep_reward: float, reward_ema: float):
+    """Sidecar health record for the collapse guard (train/loop.py).
+
+    Measured failure mode (runs/flag_r2, docs/PERF.md): a collapse landed on
+    the save_freq boundary, the periodic checkpoint captured the mid-collapse
+    agent, and every subsequent guard rollback restored the poisoned state
+    until the rollback budget was exhausted. Recording the reward level at
+    save time lets the guard skip unhealthy checkpoints."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "health.jsonl"), "a") as f:
+        f.write(json.dumps({"step": int(step), "ep_reward": float(ep_reward),
+                            "reward_ema": float(reward_ema)}) + "\n")
+
+
+def healthy_step(path: str, best_ema: float,
+                 frac: float = 0.5) -> Optional[int]:
+    """Newest saved step whose recorded health clears frac × best_ema.
+
+    Health = min(instantaneous episode reward, reward EMA) at save time —
+    the instantaneous term catches a save that lands ON the collapse chunk
+    (the EMA still reads ~0.9× best there). Steps with no record (legacy
+    runs) count as healthy so old work dirs keep the pre-health behavior."""
+    if not os.path.isdir(path):
+        return None
+    health = {}
+    f = os.path.join(path, "health.jsonl")
+    if os.path.exists(f):
+        for line in open(f):
+            try:
+                d = json.loads(line)
+                health[int(d["step"])] = min(float(d["ep_reward"]),
+                                             float(d["reward_ema"]))
+            except (ValueError, KeyError):
+                continue
+    steps = sorted({int(n.split(".")[0]) for n in os.listdir(path)
+                    if n.split(".")[0].isdigit()}, reverse=True)
+    for s in steps:
+        if s not in health or health[s] >= frac * best_ema:
+            return s
+    return None
 
 
 def latest_step(path: str) -> Optional[int]:

@@ -185,6 +185,19 @@ class Config:
                                  # reward optimum — critic-LayerNorm is the
                                  # literature's fix for exactly that class.
                                  # Off by default (reference parity).
+    td_anomaly_gate: float = 10.0  # >0 → reject critic updates whose loss
+                                 # exceeds this multiple of its own running
+                                 # EMA. Measured collapse onset (docs/PERF.md,
+                                 # runs/flag_r2): critic_loss bursts 24 → 228
+                                 # (9.5×) within one 250-step chunk and the
+                                 # policy is poisoned before the chunk ends —
+                                 # the gate freezes critic params + optimizer
+                                 # through the burst (actor keeps training
+                                 # against the intact critic). Normal learning
+                                 # never hits 10× the EMA (walker chunk means
+                                 # vary 21-29 around EMA≈25), so steady-state
+                                 # behavior is untouched. 0 disables
+                                 # (exact reference parity).
     replay_policy: str = "fifo"  # episode-slot replacement once the ring is
                                  # full: "fifo" (reference semantics) or
                                  # "reservoir" (uniform-random victim slot —

@@ -332,7 +332,12 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         if (cfg.guard_collapse > 0.0 and caught_up
                 and rollbacks < cfg.guard_max_rollbacks and best_ema > 0.0
                 and ep_reward < cfg.guard_collapse * best_ema):
-            last = ckpt.latest_step(resume_dir)
+            # health-aware target: a periodic save can land ON the collapse
+            # chunk (measured in runs/flag_r2 — save_freq boundary at the
+            # second cliff), and rolling back to a poisoned checkpoint burns
+            # the whole budget re-collapsing instantly. Skip saves whose
+            # recorded reward level was already below 0.5 × best.
+            last = ckpt.healthy_step(resume_dir, best_ema)
             if last is not None and last < step:
                 full_like = {"astate": astate, "rng": rng, "episode": 0,
                              "caught_up": False, "next_eval": 0,
@@ -438,6 +443,9 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             if cfg.checkpoint_replay:
                 full.update(states=states, obs=obs, rstate=rstate)
             ckpt.save(resume_dir, full, step)
+            # health sidecar for the collapse guard's rollback-target choice
+            ckpt.record_health(resume_dir, step, ep_reward,
+                               reward_ema if reward_ema is not None else 0.0)
 
     print("Completed training for", work_dir)
     return {"work_dir": work_dir, "episodes": episode,

@@ -178,3 +178,44 @@ class TestGuidedBackprop:
         grad = agent.attribution_grad(state.params, obs, act)
         assert grad.shape == obs.shape
         assert np.abs(np.asarray(grad)).sum() > 0
+
+
+class TestTdAnomalyGate:
+    """docs/PERF.md collapse study: the measured onset is a critic-loss
+    burst ~10x its running EMA that poisons the policy within one episode
+    chunk (runs/flag_r2). The gate freezes critic params + optimizer through
+    burst updates; normal updates are untouched."""
+
+    def test_gate_off_matches_reference_state(self):
+        agent, state, _, _ = _mk("sac", td_anomaly_gate=0.0)
+        assert state.critic_loss_ema is None
+
+    def test_normal_update_passes_and_tracks_ema(self):
+        agent, state, buf, rstate = _mk("sac")
+        assert float(state.critic_loss_ema) == 0.0
+        s1, m = agent.update(state, rstate, buf)
+        assert float(m["td_gate_fired"]) == 0.0
+        assert float(s1.critic_loss_ema) > 0.0
+        # critic params moved
+        q_before = jax.tree_util.tree_leaves(state.params["critic"])[0]
+        q_after = jax.tree_util.tree_leaves(s1.params["critic"])[0]
+        assert (np.asarray(q_before) != np.asarray(q_after)).any()
+
+    def test_burst_update_is_rejected(self):
+        from sgqn_carla_tpu.agents.sac import SAC
+
+        agent, state, buf, rstate = _mk("sac")
+        # arm the gate (past warmup) with a tiny EMA so any real loss bursts
+        state = state.replace(step=jnp.int32(SAC.GATE_WARMUP + 1),
+                              critic_loss_ema=jnp.float32(1e-8))
+        s1, m = agent.update(state, rstate, buf)
+        assert float(m["td_gate_fired"]) == 1.0
+        # critic params and optimizer are frozen through the burst
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["critic"]),
+                        jax.tree_util.tree_leaves(s1.params["critic"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["trunk"]),
+                        jax.tree_util.tree_leaves(s1.params["trunk"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the EMA ignored the burst (stays tiny, keeping the gate armed)
+        assert float(s1.critic_loss_ema) == pytest.approx(1e-8)

@@ -126,3 +126,37 @@ class TestMesh:
             return jnp.sum(v)
 
         assert float(total(xs)) == float(jnp.sum(x))
+
+
+class TestGuardHealth:
+    """Health-aware rollback targets (runs/flag_r2 failure: a periodic save
+    landed on the collapse chunk and the guard restored the poisoned
+    checkpoint until its budget was gone)."""
+
+    def test_healthy_step_skips_poisoned_save(self, tmp_path):
+        from sgqn_carla_tpu.core import checkpoint as ckpt
+
+        d = str(tmp_path)
+        for step, r in ((2, 900.0), (4, 910.0), (6, 271.0)):
+            open(f"{d}/{step}.npz", "w").close()
+            ckpt.record_health(d, step, r, 905.0)
+        # best_ema 910: step 6 (save landed mid-collapse, min=271 < 455)
+        # is skipped; step 4 is the newest healthy target
+        assert ckpt.healthy_step(d, best_ema=910.0) == 4
+        assert ckpt.latest_step(d) == 6
+
+    def test_legacy_dir_without_health_records(self, tmp_path):
+        from sgqn_carla_tpu.core import checkpoint as ckpt
+
+        d = str(tmp_path)
+        for step in (2, 4):
+            open(f"{d}/{step}.npz", "w").close()
+        assert ckpt.healthy_step(d, best_ema=910.0) == 4
+
+    def test_all_poisoned_returns_none(self, tmp_path):
+        from sgqn_carla_tpu.core import checkpoint as ckpt
+
+        d = str(tmp_path)
+        open(f"{d}/2.npz", "w").close()
+        ckpt.record_health(d, 2, 10.0, 12.0)
+        assert ckpt.healthy_step(d, best_ema=910.0) is None
