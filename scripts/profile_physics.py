@@ -1,18 +1,13 @@
-"""Per-phase breakdown INSIDE the physics substep (round-2 throughput work).
+"""Per-phase microbenchmark of the physics substep chain (walker, E envs).
 
-docs/PERF.md's phase table splits render vs physics; this splits the
-physics substep itself. Method: each variant is a (qpos, qvel) → (qpos',
-qvel') map chained exactly like production (`engine.n_steps`' scan: 40
-substeps per env step) with PER-ENV feedback only — a cross-batch scalar
-reduction per iteration acts as a global barrier and floors every variant
-at the same ~0.15 ms (the first version of this script measured exactly
-that, not the phases).
+Round-2 VERDICT item #1: physics is ~43% of the env step but had one
+optimization pass to the renderer's six. This times each stage of
+`engine._forward_dynamics` in isolation (same vmap batch, same lax.scan
+fusion, perturbed inputs so nothing hoists) so op-shaving lands on the
+dominant term, the way `render/fast.py`'s capsule pass was tuned.
 
-Variants are cumulative prefixes of the substep chain, so consecutive
-differences are phase costs:
-  fk → +geoms/contacts → +mass → +bias → +actuation → full substep.
-
-Usage: python scripts/profile_physics.py [num_envs] [inner]
+Usage:  python scripts/profile_physics.py [num_envs] [inner] [domain] [task]
+Prints one JSON object of ms per (batch × inner)-substep block per phase.
 """
 
 import json
@@ -22,20 +17,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sgqn_carla_tpu.core.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+import numpy as np
 
 
-def timeit(fn, *args, reps=3):
+def timeit(fn, *args, reps=5):
     out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")
@@ -52,88 +44,106 @@ def main():
     from sgqn_carla_tpu.envs.vector import VectorEnv
     from sgqn_carla_tpu.physics import engine
 
-    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    inner = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    nsub = 40  # 4 control steps × 10 substeps per env step (walker)
+    E = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    inner = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    domain = sys.argv[3] if len(sys.argv) > 3 else "walker"
+    task_name = sys.argv[4] if len(sys.argv) > 4 else "walk"
 
-    env = make_env("walker", "walk", image_size=84, episode_length=1000,
+    env = make_env(domain, task_name, image_size=84, episode_length=1000,
                    action_repeat=4, mode="train")
-    venv = VectorEnv(env, num_envs)
+    venv = VectorEnv(env, E)
     states, _ = venv.reset(jax.random.PRNGKey(0))
     model = env.task.model
     anc = engine._ancestors(model)
-    qpos0 = states.phys.qpos
-    qvel0 = states.phys.qvel
-    h = model.timestep
-    ctrl1 = jnp.zeros((model.nu,), jnp.float32)
+    qpos = states.phys.qpos
+    qvel = states.phys.qvel
+    ctrl = jnp.zeros((E, env.action_size), jnp.float32)
 
-    def chain(sub_fn):
-        """inner iterations × nsub substeps, per-env feedback only."""
+    # Each phase runs inside the same scan skeleton: perturb qpos/qvel per
+    # iteration (so nothing hoists), reduce the phase output to a scalar
+    # (so nothing dead-codes), carry the perturbed state.
+    def scan_over(phase):
         @jax.jit
-        def run(qpos, qvel):
-            def outer(carry, _):
-                def body(c, _):
-                    q, v = c
-                    return sub_fn(q, v), 0.0
-                (q, v), _ = jax.lax.scan(body, carry, None, length=nsub)
-                return (q, v), 0.0
-            (q, v), _ = jax.lax.scan(outer, (qpos, qvel), None, length=inner)
-            return q.sum() + v.sum()
-        return timeit(run, qpos0, qvel0)
+        def run(qp, qv):
+            def body(c, i):
+                qp, qv = c
+                qp = qp + 1e-7 * (i + 1)
+                qv = qv + 1e-7
+                s = jax.vmap(lambda a, b: phase(a, b))(qp, qv)
+                return (qp, qv), s
+            (_, _), ss = jax.lax.scan(body, (qp, qv), jnp.arange(inner))
+            return ss.sum()
+        return run
 
-    def wrap(f):
-        return jax.vmap(engine.f32_matmuls(f), in_axes=(0, 0))
+    def red(x):
+        if isinstance(x, (list, tuple)):
+            return sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(x))
+        return jnp.sum(x)
 
-    # cumulative prefixes of the substep chain
-    @wrap
-    def v_fk(q, v):
-        k = engine.forward_kinematics(model, q, v)
-        fb = k.p.sum() + k.v.sum()
-        return q + h * v + 1e-12 * fb, v
+    phases = {}
 
-    @wrap
-    def v_fk_geoms(q, v):
-        k = engine.forward_kinematics(model, q, v)
-        gw = engine._geom_world_soa(model, k)
-        tau_c, _ = engine.contact_taus(model, k, gw, anc)
-        fb = sum(tau_c)
-        return q + h * v + 1e-12 * fb, v
+    def fk(qp, qv):
+        return red(engine.forward_kinematics(model, qp, qv))
+    phases["fk"] = fk
 
-    @wrap
-    def v_fk_mass(q, v):
-        k = engine.forward_kinematics(model, q, v)
-        M = engine._mass_matrix_soa(model, k)
-        fb = sum(M[i][j] for i in range(model.nl) for j in range(i + 1)
-                 if not isinstance(M[i][j], float))
-        return q + h * v + 1e-12 * fb, v
+    def fk_mass(qp, qv):
+        kin = engine.forward_kinematics(model, qp, qv)
+        return red(engine._mass_matrix_soa(model, kin))
+    phases["fk+mass"] = fk_mass
 
-    @wrap
-    def v_fk_bias(q, v):
-        k = engine.forward_kinematics(model, q, v)
-        C = engine._bias_forces_soa(model, k, v)
-        fb = sum(C)
-        return q + h * v + 1e-12 * fb, v
+    def fk_bias(qp, qv):
+        kin = engine.forward_kinematics(model, qp, qv)
+        return red(engine._bias_forces_soa(model, kin, qv))
+    phases["fk+bias"] = fk_bias
 
-    @wrap
-    def v_full(q, v):
-        out = engine.step(model, q, v, ctrl1)
-        return out.qpos, out.qvel
+    def taus(qp, qv):
+        return red(engine.applied_taus(model, qp, qv, ctrl[0]))
+    phases["applied_taus"] = taus
 
-    t_fk = chain(v_fk)
-    t_geo = chain(v_fk_geoms)
-    t_mass = chain(v_fk_mass)
-    t_bias = chain(v_fk_bias)
-    t_full = chain(v_full)
+    if len(model.contact_pairs) and not model.implicit_contacts:
+        def fk_contacts(qp, qv):
+            kin = engine.forward_kinematics(model, qp, qv)
+            gw = engine._geom_world_soa(model, kin)
+            tau_c, pair_f = engine.contact_taus(model, kin, gw, anc)
+            return red(tau_c) + red(pair_f)
+        phases["fk+geoms+contacts"] = fk_contacts
 
-    ms = lambda t: round(1e3 * t / inner, 4)  # per env-step (40 substeps)
-    print(json.dumps({
-        "num_envs": num_envs, "inner": inner, "substeps": nsub,
-        "fk_chain_ms": ms(t_fk),
-        "fk_contacts_chain_ms": ms(t_geo),
-        "fk_mass_chain_ms": ms(t_mass),
-        "fk_bias_chain_ms": ms(t_bias),
-        "full_substep_chain_ms": ms(t_full),
-    }))
+        def fk_geoms(qp, qv):
+            kin = engine.forward_kinematics(model, qp, qv)
+            return red(list(engine._geom_world_soa(model, kin)))
+        phases["fk+geoms"] = fk_geoms
+
+    def fk_mass_solve(qp, qv):
+        kin = engine.forward_kinematics(model, qp, qv)
+        M = engine._mass_matrix_soa(model, kin)
+        rhs = [qv[i] for i in range(model.nl)]
+        return red(engine._solve_spd(M, rhs, model.nl))
+    phases["fk+mass+solve"] = fk_mass_solve
+
+    def substep(qp, qv):
+        out = engine.step(model, qp, qv, ctrl[0])
+        return red(out.qpos) + red(out.qvel) + red(out.contact_force)
+    phases["full_substep"] = substep
+
+    results = {"num_envs": E, "inner": inner, "nl": model.nl,
+               "domain": f"{domain}_{task_name}",
+               "contact_pairs": len(model.contact_pairs)}
+    for name, phase in phases.items():
+        t = timeit(scan_over(phase), qpos, qvel)
+        results[name + "_ms"] = round(1e3 * t / inner, 4)
+    # derived marginals
+    if "fk+geoms+contacts_ms" in results:
+        results["contacts_alone_ms"] = round(
+            results["fk+geoms+contacts_ms"] - results["fk+geoms_ms"], 4)
+        results["geoms_alone_ms"] = round(
+            results["fk+geoms_ms"] - results["fk_ms"], 4)
+    results["mass_alone_ms"] = round(
+        results["fk+mass_ms"] - results["fk_ms"], 4)
+    results["bias_alone_ms"] = round(
+        results["fk+bias_ms"] - results["fk_ms"], 4)
+    results["solve_alone_ms"] = round(
+        results["fk+mass+solve_ms"] - results["fk+mass_ms"], 4)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -20,7 +20,15 @@ DEFAULT_POOL = 256
 
 def synth_images(num: int, height: int = 84, width: int = 84,
                  seed: int = 0) -> np.ndarray:
-    """(N, 3, H, W) float32 in [0, 1]: multi-scale noise + random boxes."""
+    """(N, 3, H, W) float32 in [0, 1]: multi-octave fields + random shapes.
+
+    The pool must COVER the statistics of the test-time distraction
+    distribution the way Places365 covers DAVIS in the reference setup:
+    the video_hard clips (data/videos.py:synth_videos) carry spatial
+    frequencies up to ±4·2π and per-channel amplitudes up to 0.45, so the
+    training overlays span k ∈ ±5·2π over two octaves and the full
+    amplitude range (round-2: the old single-octave ±3·2π pool left the
+    test band partly outside the train distribution)."""
     rng = np.random.RandomState(seed)
     out = np.zeros((num, 3, height, width), np.float32)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -28,20 +36,31 @@ def synth_images(num: int, height: int = 84, width: int = 84,
     xx /= width
     for i in range(num):
         img = np.zeros((height, width, 3), np.float32)
-        # low-frequency color field
+        # two-octave color field: a low-frequency base plus a higher band
         for c in range(3):
-            k1, k2 = rng.uniform(-3, 3, 2) * 2 * np.pi
-            ph = rng.uniform(0, 2 * np.pi)
-            img[..., c] = 0.5 + 0.4 * np.sin(k1 * xx + k2 * yy + ph)
-        # random rectangles / "objects"
+            img[..., c] = 0.5
+            for k_lim, amp_lim in ((3.0, 0.4), (5.0, 0.3)):
+                k1, k2 = rng.uniform(-k_lim, k_lim, 2) * 2 * np.pi
+                ph = rng.uniform(0, 2 * np.pi)
+                amp = rng.uniform(0.1, amp_lim)
+                img[..., c] += amp * np.sin(k1 * xx + k2 * yy + ph)
+        # random rectangles and ellipses ("objects")
         for _ in range(rng.randint(3, 9)):
-            x0, y0 = rng.randint(0, width - 6), rng.randint(0, height - 6)
-            w = rng.randint(4, width // 2)
-            h = rng.randint(4, height // 2)
             color = rng.uniform(0, 1, 3)
-            img[y0:y0 + h, x0:x0 + w] = (
-                0.5 * img[y0:y0 + h, x0:x0 + w] + 0.5 * color
-            )
+            if rng.rand() < 0.5:
+                x0, y0 = rng.randint(0, width - 6), rng.randint(0, height - 6)
+                w = rng.randint(4, width // 2)
+                h = rng.randint(4, height // 2)
+                img[y0:y0 + h, x0:x0 + w] = (
+                    0.5 * img[y0:y0 + h, x0:x0 + w] + 0.5 * color
+                )
+            else:
+                cx0 = rng.uniform(0, 1)
+                cy0 = rng.uniform(0, 1)
+                rx = rng.uniform(0.05, 0.3)
+                ry = rng.uniform(0.05, 0.3)
+                m = (((xx - cx0) / rx) ** 2 + ((yy - cy0) / ry) ** 2) < 1.0
+                img[m] = 0.5 * img[m] + 0.5 * color
         # grain
         img += rng.normal(0, 0.05, img.shape)
         out[i] = np.clip(img, 0, 1).transpose(2, 0, 1)
