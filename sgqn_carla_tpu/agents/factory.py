@@ -50,6 +50,7 @@ def make_agent(obs_shape: Tuple[int, ...], action_shape: Tuple[int, ...],
             ext = ov if os.path.isdir(ov) else data_dir
         overlay_pool = jnp.asarray(
             get_overlay_pool(cfg.image_crop_size, cfg.image_crop_size,
-                             seed=cfg.seed, external_dir=ext))
+                             seed=cfg.seed, external_dir=ext,
+                             band=getattr(cfg, "overlay_band", "narrow")))
     return ALGORITHMS[cfg.algorithm](obs_shape, action_shape, cfg,
                                      overlay_pool=overlay_pool)

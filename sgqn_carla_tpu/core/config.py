@@ -137,6 +137,12 @@ class Config:
     # Empty → procedural pools; "auto" → first existing path listed in
     # setup/config.cfg's "datasets".
     external_data_dir: str = ""
+    # procedural overlay-pool frequency band: "narrow" (single-octave
+    # ±3·2π — every committed generalization result) or "wide" (two
+    # octaves to ±5·2π covering the video_hard test band — measured
+    # NEGATIVE as a default: runs/flag_r2b train 690 vs 896, see
+    # data/overlay.py:synth_images)
+    overlay_band: str = "narrow"
 
     # ---- TPU-native additions (no reference equivalent) ----
     num_envs: int = 1            # vectorized env batch per experiment

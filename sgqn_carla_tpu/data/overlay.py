@@ -19,33 +19,52 @@ DEFAULT_POOL = 256
 
 
 def synth_images(num: int, height: int = 84, width: int = 84,
-                 seed: int = 0) -> np.ndarray:
-    """(N, 3, H, W) float32 in [0, 1]: multi-octave fields + random shapes.
+                 seed: int = 0, band: str = "narrow") -> np.ndarray:
+    """(N, 3, H, W) float32 in [0, 1]: multi-scale fields + random shapes.
 
-    The pool must COVER the statistics of the test-time distraction
-    distribution the way Places365 covers DAVIS in the reference setup:
-    the video_hard clips (data/videos.py:synth_videos) carry spatial
-    frequencies up to ±4·2π and per-channel amplitudes up to 0.45, so the
-    training overlays span k ∈ ±5·2π over two octaves and the full
-    amplitude range (round-2: the old single-octave ±3·2π pool left the
-    test band partly outside the train distribution)."""
+    band="narrow" (default) is the single-octave ±3·2π pool every committed
+    generalization result was trained on. band="wide" extends to two
+    octaves (±5·2π), amplitudes to 0.45 and ellipse shapes to cover the
+    video_hard test band — MEASURED NEGATIVE as a training default
+    (runs/flag_r2b: train reward 690 vs the narrow pool's 896 at the same
+    update count, video_hard 462 vs 682; the harsher overlays drag the
+    encoder's clean-task learning more than the extra coverage helps), so
+    it is opt-in via --overlay_band wide."""
     rng = np.random.RandomState(seed)
     out = np.zeros((num, 3, height, width), np.float32)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     yy /= height
     xx /= width
+    wide = band == "wide"
     for i in range(num):
         img = np.zeros((height, width, 3), np.float32)
-        # two-octave color field: a low-frequency base plus a higher band
-        for c in range(3):
-            img[..., c] = 0.5
-            for k_lim, amp_lim in ((3.0, 0.4), (5.0, 0.3)):
-                k1, k2 = rng.uniform(-k_lim, k_lim, 2) * 2 * np.pi
+        if wide:
+            # two-octave color field: low-frequency base plus a higher band
+            for c in range(3):
+                img[..., c] = 0.5
+                for k_lim, amp_lim in ((3.0, 0.4), (5.0, 0.3)):
+                    k1, k2 = rng.uniform(-k_lim, k_lim, 2) * 2 * np.pi
+                    ph = rng.uniform(0, 2 * np.pi)
+                    amp = rng.uniform(0.1, amp_lim)
+                    img[..., c] += amp * np.sin(k1 * xx + k2 * yy + ph)
+        else:
+            # single-octave low-frequency color field
+            for c in range(3):
+                k1, k2 = rng.uniform(-3, 3, 2) * 2 * np.pi
                 ph = rng.uniform(0, 2 * np.pi)
-                amp = rng.uniform(0.1, amp_lim)
-                img[..., c] += amp * np.sin(k1 * xx + k2 * yy + ph)
-        # random rectangles and ellipses ("objects")
+                img[..., c] = 0.5 + 0.4 * np.sin(k1 * xx + k2 * yy + ph)
+        # random rectangles (and, wide band only, ellipses) — "objects"
         for _ in range(rng.randint(3, 9)):
+            if not wide:
+                # draw order matches the round-1 pool bit-for-bit
+                x0, y0 = rng.randint(0, width - 6), rng.randint(0, height - 6)
+                w = rng.randint(4, width // 2)
+                h = rng.randint(4, height // 2)
+                color = rng.uniform(0, 1, 3)
+                img[y0:y0 + h, x0:x0 + w] = (
+                    0.5 * img[y0:y0 + h, x0:x0 + w] + 0.5 * color
+                )
+                continue
             color = rng.uniform(0, 1, 3)
             if rng.rand() < 0.5:
                 x0, y0 = rng.randint(0, width - 6), rng.randint(0, height - 6)
@@ -85,7 +104,8 @@ def load_external(path: str, height: int, width: int):
 
 
 def get_overlay_pool(height: int = 84, width: int = 84, seed: int = 0,
-                     external_dir: str = "", num: int = DEFAULT_POOL) -> np.ndarray:
+                     external_dir: str = "", num: int = DEFAULT_POOL,
+                     band: str = "narrow") -> np.ndarray:
     ext = load_external(external_dir, height, width)
     if ext is None and external_dir:
         # real Places365-style JPEG trees (reference: augmentations.py:17-62
@@ -102,4 +122,4 @@ def get_overlay_pool(height: int = 84, width: int = 84, seed: int = 0,
                 break
     if ext is not None:
         return ext
-    return synth_images(num, height, width, seed)
+    return synth_images(num, height, width, seed, band=band)

@@ -61,6 +61,10 @@ class Kin(NamedTuple):
     anchor_w: jnp.ndarray # (nl, 3) world joint anchors
     q: jnp.ndarray        # (nl, 4) link quaternions
     soa: Any = None
+    basis: Any = None     # per-link world rotation columns (ex, ey, ez) as
+                          # vec3 tuples — cached once per substep so the
+                          # dynamics (spatial inertias, geom poses, constant
+                          # -offset rotations) never re-derive R from q
 
 
 class StepOut(NamedTuple):
@@ -103,6 +107,31 @@ def _const3(a):
     return (jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]))
 
 
+def _rot_const(basis, a):
+    """R·a for a *constant* vec3 `a`, using cached basis columns.
+
+    Zero components of `a` are skipped and ±1 coefficients folded at trace
+    time, so the common cases (joint axes like (0,0,1), offsets like
+    (0,0,-z)) cost 0-3 VPU ops instead of a 27-op quaternion rotation.
+    `basis` is the (ex, ey, ez) column tuple cached in `Kin.basis`."""
+    out = [None, None, None]
+    for j in range(3):
+        aj = float(a[j])
+        if aj == 0.0:
+            continue
+        col = basis[j]
+        for r in range(3):
+            if aj == 1.0:
+                term = col[r]
+            elif aj == -1.0:
+                term = -col[r]
+            else:
+                term = col[r] * jnp.float32(aj)
+            out[r] = term if out[r] is None else out[r] + term
+    zero = jnp.float32(0.0)
+    return tuple(zero if o is None else o for o in out)
+
+
 @f32_matmuls
 def forward_kinematics(model: Model, qpos, qvel) -> Kin:
     """Sequential FK over the static chain; all quaternion component math.
@@ -119,42 +148,48 @@ def forward_kinematics(model: Model, qpos, qvel) -> Kin:
     theta = qpos.astype(f) - jnp.asarray(model.jnt_ref, f)
     qd = qvel.astype(f)
     qs, ps, Ss, vs, coms, axes, anchors = [], [], [], [], [], [], []
+    bases = []
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
+    id_basis = ((one, zero, zero), (zero, one, zero), (zero, zero, one))
     for i in range(nl):
         par = int(model.link_parent[i])
         if par < 0:
             q_p = (one, zero, zero, zero)
+            b_p = id_basis
             p_p = (zero, zero, zero)
             v_p = ((zero, zero, zero), (zero, zero, zero))
         else:
-            q_p, p_p, v_p = qs[par], ps[par], vs[par]
+            q_p, p_p, v_p, b_p = qs[par], ps[par], vs[par], bases[par]
         if np.allclose(model.link_quat[i], [1.0, 0, 0, 0]):
-            q0 = q_p
+            q0, b0 = q_p, b_p
         else:
             q0 = v3.qmul(q_p, tuple(jnp.float32(c) for c in model.link_quat[i]))
+            b0 = v3.q_columns(q0)
         off = model.link_pos[i]
         if np.allclose(off, 0.0):
             p0 = p_p
         else:
-            p0 = v3.add(p_p, v3.qrot(q_p, _const3(off)))
-        n = v3.qrot(q0, _const3(model.jnt_axis[i]))
+            p0 = v3.add(p_p, _rot_const(b_p, off))
+        n = _rot_const(b0, model.jnt_axis[i])
         jp = model.jnt_pos[i]
-        a = p0 if np.allclose(jp, 0.0) else v3.add(p0, v3.qrot(q0, _const3(jp)))
+        a = p0 if np.allclose(jp, 0.0) else v3.add(p0, _rot_const(b0, jp))
         if int(model.jnt_type[i]) == HINGE:
             q_rot = v3.q_axis_angle(n, theta[i])
             q_i = v3.qmul(q_rot, q0)
+            b_i = v3.q_columns(q_i)
             p_i = v3.add(a, v3.qrot(q_rot, v3.sub(p0, a)))
             S_i = (n, v3.cross(a, n))
         else:  # SLIDE
-            q_i = q0
+            q_i, b_i = q0, b0
             p_i = v3.add(p0, v3.scale(n, theta[i]))
             S_i = ((zero, zero, zero), n)
         v_i = v3.s_add(v_p, v3.s_scale(S_i, qd[i]))
         com_i = (p_i if np.allclose(model.link_com[i], 0.0)
-                 else v3.add(p_i, v3.qrot(q_i, _const3(model.link_com[i]))))
+                 else v3.add(p_i, _rot_const(b_i, model.link_com[i])))
         qs.append(q_i); ps.append(p_i); Ss.append(S_i); vs.append(v_i)
         coms.append(com_i); axes.append(n); anchors.append(a)
+        bases.append(b_i)
 
     def stackv(ts):
         return jnp.stack([v3.stack(t) for t in ts]) if ts else jnp.zeros((0, 3))
@@ -165,12 +200,14 @@ def forward_kinematics(model: Model, qpos, qvel) -> Kin:
 
     q_arr = (jnp.stack([jnp.stack(q, -1) for q in qs])
              if qs else jnp.zeros((0, 4)))
-    from sgqn_carla_tpu.physics.math3d import quat_to_mat
-    R_arr = quat_to_mat(q_arr) if nl else jnp.zeros((0, 3, 3))
+    R_arr = (jnp.stack([jnp.stack([v3.stack(b[0]), v3.stack(b[1]),
+                                   v3.stack(b[2])], -1) for b in bases])
+             if nl else jnp.zeros((0, 3, 3)))
     return Kin(
         R=R_arr, p=stackv(ps), S=stacks(Ss), v=stacks(vs), com=stackv(coms),
         axis_w=stackv(axes), anchor_w=stackv(anchors), q=q_arr,
         soa=(tuple(qs), tuple(ps), tuple(Ss), tuple(vs), tuple(coms)),
+        basis=tuple(bases),
     )
 
 
@@ -186,25 +223,47 @@ def _mat3_vec(A, w):
 
 
 def _spi_from_link(model: Model, i: int, kin: Kin):
-    """World spatial inertia of link i about the world origin."""
-    qs, ps, Ss, vs, coms = kin.soa
+    """World spatial inertia of link i about the world origin.
+
+    Op-lean form: reuses the rotation columns cached in `Kin.basis`
+    (instead of re-deriving R from the quaternion per call), skips zero
+    entries of the constant body-frame inertia at trace time, and builds
+    only the 6 unique entries of the symmetric matrices (the mirrored
+    entries share the same traced value, so downstream consumers reading
+    all 9 cost nothing extra)."""
+    _, _, _, _, coms = kin.soa
     m = float(model.link_mass[i])
     c = coms[i]
-    # rotate the (constant) local inertia into world axes: A_c = R I R^T,
-    # done column-wise with quaternion rotations (pure elementwise)
-    I_local = model.link_inertia[i]
-    q = qs[i]
-    cols = [v3.qrot(q, _const3(I_local[:, k])) for k in range(3)]
-    ex, ey, ez = v3.q_columns(q)
-    basis = (ex, ey, ez)
-    # A_c[r][s] = e_r · (Σ_k I_col_k ... ) — A_c = R I_local Rᵀ:
-    # (R I)_{r k} = cols[k][r]; A_c[r][s] = Σ_k cols[k][r] * R[s][k]
-    A_c = [[sum(cols[k][r] * basis[k][s] for k in range(3)) for s in range(3)]
-           for r in range(3)]
-    # shift to origin: A = A_c + m (|c|² I − c cᵀ)
+    I_local = np.asarray(model.link_inertia[i], np.float64)
+    basis = (kin.basis[i] if kin.basis is not None
+             else v3.q_columns(kin.soa[0][i]))
+    zero = jnp.float32(0.0)
+    # L = R · I_local:  L[r][k] = Σ_j R[r][j] I[j][k],  R[r][j] = basis[j][r]
+    L = [[None] * 3 for _ in range(3)]
+    for r in range(3):
+        for k in range(3):
+            s = None
+            for j in range(3):
+                aij = float(I_local[j, k])
+                if aij == 0.0:
+                    continue
+                term = basis[j][r] * jnp.float32(aij)
+                s = term if s is None else s + term
+            L[r][k] = zero if s is None else s
+    # A_c = L · Rᵀ (symmetric):  A_c[r][s] = Σ_k L[r][k] * basis[k][s]
+    A_c = [[None] * 3 for _ in range(3)]
+    for r in range(3):
+        for s in range(r, 3):
+            A_c[r][s] = A_c[s][r] = (L[r][0] * basis[0][s]
+                                     + L[r][1] * basis[1][s]
+                                     + L[r][2] * basis[2][s])
+    # shift to origin: A = A_c + m (|c|² I − c cᵀ), also symmetric
     c2 = v3.dot(c, c)
-    A = [[A_c[r][s] + m * ((c2 if r == s else 0.0) - c[r] * c[s])
-          for s in range(3)] for r in range(3)]
+    A = [[None] * 3 for _ in range(3)]
+    for r in range(3):
+        for s in range(r, 3):
+            A[r][s] = A[s][r] = (A_c[r][s]
+                                 + m * ((c2 if r == s else 0.0) - c[r] * c[s]))
     h = v3.scale(c, m)
     return (A, h, m)
 
@@ -278,10 +337,11 @@ def mass_matrix(model: Model, kin: Kin) -> jnp.ndarray:
     return jnp.stack([jnp.stack(row, -1) for row in M], -2)
 
 
-def _mass_matrix_soa(model: Model, kin: Kin):
+def _mass_matrix_soa(model: Model, kin: Kin, Iw=None):
     nl = model.nl
     _, _, Ss, _, _ = kin.soa
-    Ic = [_spi_from_link(model, i, kin) for i in range(nl)]
+    Ic = list(Iw) if Iw is not None else [
+        _spi_from_link(model, i, kin) for i in range(nl)]
     for i in reversed(range(nl)):
         par = int(model.link_parent[i])
         if par >= 0:
@@ -309,7 +369,7 @@ def bias_forces(model: Model, kin: Kin, qvel) -> jnp.ndarray:
     return jnp.stack(_bias_forces_soa(model, kin, qvel), -1)
 
 
-def _bias_forces_soa(model: Model, kin: Kin, qvel):
+def _bias_forces_soa(model: Model, kin: Kin, qvel, Iw=None):
     nl = model.nl
     _, _, Ss, vs, _ = kin.soa
     qd = qvel.astype(jnp.float32)
@@ -322,9 +382,9 @@ def _bias_forces_soa(model: Model, kin: Kin, qvel):
         par = int(model.link_parent[i])
         a_p = a_base if par < 0 else accs[par]
         a_i = v3.s_add(a_p, v3.s_crm(vs[i], v3.s_scale(Ss[i], qd[i])))
-        Iw = _spi_from_link(model, i, kin)
-        f_i = v3.s_add(_spi_apply(Iw, a_i),
-                       v3.s_crf(vs[i], _spi_apply(Iw, vs[i])))
+        I_i = Iw[i] if Iw is not None else _spi_from_link(model, i, kin)
+        f_i = v3.s_add(_spi_apply(I_i, a_i),
+                       v3.s_crf(vs[i], _spi_apply(I_i, vs[i])))
         accs.append(a_i); fs.append(f_i)
     fsub = list(fs)
     for i in reversed(range(nl)):
@@ -342,19 +402,26 @@ def geom_world(model: Model, kin: Kin):
     qs, ps, _, _, _ = kin.soa if kin.soa else ((), (), (), (), ())
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
+    id_basis = ((one, zero, zero), (zero, one, zero), (zero, zero, one))
     for g in model.geoms:
         if g.link < 0:
-            ql = (one, zero, zero, zero)
+            ql, bl = (one, zero, zero, zero), id_basis
             pl = (zero, zero, zero)
         else:
             ql, pl = qs[g.link], ps[g.link]
+            bl = kin.basis[g.link] if kin.basis is not None else None
         if np.allclose(g.quat, [1.0, 0, 0, 0]):
-            qg = ql
+            qg, bg = ql, bl
         else:
             qg = v3.qmul(ql, tuple(jnp.float32(c) for c in g.quat))
-        pw = pl if np.allclose(g.pos, 0.0) else v3.add(
-            pl, v3.qrot(ql, _const3(g.pos)))
-        ex, ey, ez = v3.q_columns(qg)
+            bg = None
+        if np.allclose(g.pos, 0.0):
+            pw = pl
+        elif bl is not None:
+            pw = v3.add(pl, _rot_const(bl, g.pos))
+        else:
+            pw = v3.add(pl, v3.qrot(ql, _const3(g.pos)))
+        ex, ey, ez = bg if bg is not None else v3.q_columns(qg)
         Rg.append(jnp.stack([v3.stack(ex), v3.stack(ey), v3.stack(ez)], -1))
         pg.append(v3.stack(pw))
     return jnp.stack(Rg), jnp.stack(pg)
@@ -370,12 +437,18 @@ def _geom_world_soa(model: Model, kin: Kin):
         if g.link < 0:
             ql = (one, zero, zero, zero)
             pl = (zero, zero, zero)
+            bl = None
         else:
             ql, pl = qs[g.link], ps[g.link]
+            bl = kin.basis[g.link] if kin.basis is not None else None
         qg = ql if np.allclose(g.quat, [1.0, 0, 0, 0]) else v3.qmul(
             ql, tuple(jnp.float32(c) for c in g.quat))
-        pw = pl if np.allclose(g.pos, 0.0) else v3.add(
-            pl, v3.qrot(ql, _const3(g.pos)))
+        if np.allclose(g.pos, 0.0):
+            pw = pl
+        elif bl is not None:
+            pw = v3.add(pl, _rot_const(bl, g.pos))
+        else:
+            pw = v3.add(pl, v3.qrot(ql, _const3(g.pos)))
         out.append((qg, pw))
     return out
 
@@ -391,7 +464,8 @@ def _point_velocity(kin: Kin, link: int, x):
 
 def _capsule_segment_soa(g, qg, pw):
     hl = float(g.size[1])
-    _, _, ez = v3.q_columns(qg)
+    w, x, y, z = qg  # only the z column of R is needed (1/3 the ops)
+    ez = (2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y))
     d = v3.scale(ez, hl)
     return v3.sub(pw, d), v3.add(pw, d)
 
@@ -1042,8 +1116,11 @@ def _forward_dynamics(model: Model, qpos, qvel, ctrl, anc, hfield=None):
         "heightfield contacts are implemented on the dense path only "
         "(quadruped-class models dispatch there by nl; see dense.py)")
     kin = forward_kinematics(model, qpos, qvel)
-    M = _mass_matrix_soa(model, kin)
-    C = _bias_forces_soa(model, kin, qvel)
+    # per-link world spatial inertias, shared by CRBA and the RNEA bias
+    # pass (previously traced twice per substep)
+    Iw = [_spi_from_link(model, i, kin) for i in range(model.nl)]
+    M = _mass_matrix_soa(model, kin, Iw)
+    C = _bias_forces_soa(model, kin, qvel, Iw)
     if model.integrator != "rk4" and np.any(np.asarray(model.jnt_damping)):
         # MuJoCo's Euler integrator treats dof damping implicitly: it solves
         # (M + h·diag(damping))·qacc = τ with the explicit −D·v force still in
