@@ -47,6 +47,10 @@ class AgentState(struct.PyTreeNode):
     critic_loss_ema: Any = None  # running critic-loss EMA for the TD-anomaly
     #                              gate (cfg.td_anomaly_gate, docs/PERF.md
     #                              collapse study); None when the gate is off
+    gate_cooldown: Any = None   # int32 updates left in the post-burst freeze
+    #                             (cfg.td_gate_cooldown); None when disabled.
+    #                             Kept None unless configured so older
+    #                             resume checkpoints keep their tree shape.
 
 
 class SAC:
@@ -144,6 +148,9 @@ class SAC:
             rng=k_next,
             critic_loss_ema=(jnp.float32(0.0)
                              if self.cfg.td_anomaly_gate > 0 else None),
+            gate_cooldown=(jnp.int32(0)
+                           if self.cfg.td_anomaly_gate > 0
+                           and self.cfg.td_gate_cooldown > 0 else None),
         )
         return self.init_aux(state, rng)
 
@@ -260,7 +267,22 @@ class SAC:
             ema = state.critic_loss_ema
             armed = (state.step >= self.GATE_WARMUP) & (ema > 0)
             burst = armed & (loss > jnp.float32(self.cfg.td_anomaly_gate) * ema)
-            keep = jnp.where(burst, 0.0, 1.0).astype(jnp.float32)
+            frozen = burst
+            if state.gate_cooldown is not None:
+                # post-burst cooldown (cfg.td_gate_cooldown): the measured
+                # cascade (docs/PERF.md collapse signature) compounds through
+                # follow-on updates that each sit BELOW the burst threshold —
+                # after a burst, freeze the whole agent for K more updates so
+                # the poisoned target surface never propagates. Benign bursts
+                # cost K skipped updates (~0.1% of a run); a real onset is
+                # contained before the twins co-diverge.
+                in_cd = state.gate_cooldown > 0
+                frozen = burst | in_cd
+                new_cd = jnp.where(
+                    burst, jnp.int32(self.cfg.td_gate_cooldown),
+                    jnp.maximum(state.gate_cooldown - 1, 0))
+                state = state.replace(gate_cooldown=new_cd)
+            keep = jnp.where(frozen, 0.0, 1.0).astype(jnp.float32)
             grads = jax.tree_util.tree_map(lambda g: g * keep, grads)
             updates, opt2 = self.critic_tx.update(grads, state.critic_opt,
                                                   c_params)
@@ -269,13 +291,14 @@ class SAC:
                 if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else b,
                 state.critic_opt, opt2)
             updates = jax.tree_util.tree_map(lambda u: u * keep, updates)
-            # the EMA ignores burst losses (they would drag the threshold up
-            # and disarm the gate for the very next update)
-            ema = jnp.where(burst, ema,
+            # the EMA ignores burst/frozen losses (they would drag the
+            # threshold up and disarm the gate for the very next update)
+            ema = jnp.where(frozen, ema,
                             jnp.where(state.step == 0, loss,
                                       0.99 * ema + 0.01 * loss))
             state = state.replace(critic_loss_ema=ema)
-            metrics = {**metrics, "td_gate_fired": burst.astype(jnp.float32)}
+            metrics = {**metrics, "td_gate_fired": burst.astype(jnp.float32),
+                       "td_gate_frozen": frozen.astype(jnp.float32)}
         else:
             updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
                                                      c_params)
@@ -370,9 +393,13 @@ class SAC:
                  "alpha_value": jnp.exp(s.log_alpha)}
             return s, z
 
-        state, a_metrics = jax.lax.cond(
-            state.step % self.actor_update_freq == 0, do_actor, skip_actor,
-            state)
+        do_act = state.step % self.actor_update_freq == 0
+        if state.gate_cooldown is not None:
+            # post-burst cooldown freezes the actor/alpha too: the burst
+            # batch (and the corrupted critic surface it implies) must not
+            # steer the policy while the critic sits out its freeze
+            do_act = do_act & (state.gate_cooldown == 0)
+        state, a_metrics = jax.lax.cond(do_act, do_actor, skip_actor, state)
 
         state = jax.lax.cond(
             state.step % self.critic_target_update_freq == 0,

@@ -191,6 +191,10 @@ class Config:
                                  # reward optimum — critic-LayerNorm is the
                                  # literature's fix for exactly that class.
                                  # Off by default (reference parity).
+    td_gate_cooldown: int = 0    # >0 → after a TD burst, freeze critic AND
+    #                              actor/alpha for this many further updates
+    #                              (containment for the measured sub-threshold
+    #                              cascade, docs/PERF.md collapse signature)
     td_anomaly_gate: float = 10.0  # >0 → reject critic updates whose loss
                                  # exceeds this multiple of its own running
                                  # EMA. Measured collapse onset (docs/PERF.md,

@@ -219,3 +219,45 @@ class TestTdAnomalyGate:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         # the EMA ignored the burst (stays tiny, keeping the gate armed)
         assert float(s1.critic_loss_ema) == pytest.approx(1e-8)
+
+    def test_cooldown_freezes_follow_on_updates(self):
+        """--td_gate_cooldown: the measured cascade (docs/PERF.md collapse
+        signature) compounds through follow-on updates that sit BELOW the
+        burst threshold; with a cooldown the whole agent (critic, trunk,
+        actor, alpha) sits frozen for K updates after a burst."""
+        from sgqn_carla_tpu.agents.sac import SAC
+
+        agent, state, buf, rstate = _mk("sac", td_gate_cooldown=3)
+        assert int(state.gate_cooldown) == 0
+        # force a burst at an actor-update step (even step, freq 2)
+        step0 = SAC.GATE_WARMUP + 2
+        state = state.replace(step=jnp.int32(step0),
+                              critic_loss_ema=jnp.float32(1e-8))
+        s1, m = agent.update(state, rstate, buf)
+        assert float(m["td_gate_fired"]) == 1.0
+        assert float(m["td_gate_frozen"]) == 1.0
+        assert int(s1.gate_cooldown) == 3
+        # actor/alpha frozen on the burst step despite step % freq == 0
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["actor"]),
+                        jax.tree_util.tree_leaves(s1.params["actor"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # simulate a recovered loss level: next update is BELOW the burst
+        # threshold but still inside the cooldown -> frozen, counter ticks
+        s1 = s1.replace(critic_loss_ema=jnp.float32(1e8))
+        s2, m2 = agent.update(s1, rstate, buf)
+        assert float(m2["td_gate_fired"]) == 0.0
+        assert float(m2["td_gate_frozen"]) == 1.0
+        assert int(s2.gate_cooldown) == 2
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params["critic"]),
+                        jax.tree_util.tree_leaves(s2.params["critic"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params["actor"]),
+                        jax.tree_util.tree_leaves(s2.params["actor"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # run the cooldown out: updates resume
+        s3 = s2.replace(gate_cooldown=jnp.int32(0))
+        s4, m4 = agent.update(s3, rstate, buf)
+        assert float(m4["td_gate_frozen"]) == 0.0
+        q_before = jax.tree_util.tree_leaves(s3.params["critic"])[0]
+        q_after = jax.tree_util.tree_leaves(s4.params["critic"])[0]
+        assert (np.asarray(q_before) != np.asarray(q_after)).any()
