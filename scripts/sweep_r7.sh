@@ -43,7 +43,7 @@ for E in 1536 1024 2048; do
 done
 
 # ---- hopper-stand DrQ, bounded: the stiction-fix learnability test
-timeout 5400 python -m sgqn_carla_tpu.train.train \
+timeout 2400 python -m sgqn_carla_tpu.train.train \
   --domain_name hopper --task_name stand --algorithm drq --train_steps 100k \
   --init_steps 1000 --eval_mode none --num_envs 8 --save_freq 25k --seed 0 \
   --log_dir runs/hopper_r2 || echo "HOPPER ENDED rc=$?"
