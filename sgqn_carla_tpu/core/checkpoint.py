@@ -50,6 +50,56 @@ def save(path: str, tree: Any, step: int):
                  **{str(i): np.asarray(x) for i, x in enumerate(flat)})
 
 
+def _merge_raw(raw: Any, like: Any) -> Any:
+    """Merge a template-free orbax restore (`raw`: nested dicts/lists) onto
+    `like` by key path. Fields of `like` that do not exist on disk keep
+    their `like` value — so a checkpoint written before a state dataclass
+    gained a field restores cleanly with the new field at its init value
+    (forward compatibility; measured failure: runs/flag_r2c's 225k resume
+    rejected after AgentState gained `gate_cooldown`)."""
+    missing = []
+
+    def lookup(path):
+        node = raw
+        for p in path:
+            if isinstance(p, jax.tree_util.GetAttrKey):
+                key = p.name
+            elif isinstance(p, jax.tree_util.DictKey):
+                key = p.key
+            elif isinstance(p, jax.tree_util.SequenceKey):
+                key = p.idx
+            elif isinstance(p, jax.tree_util.FlattenedIndexKey):
+                key = p.key
+            else:  # pragma: no cover — unknown key kind
+                raise KeyError(repr(p))
+            if isinstance(node, dict):
+                if key in node:
+                    node = node[key]
+                elif str(key) in node:
+                    node = node[str(key)]
+                else:
+                    raise KeyError(str(key))
+            elif isinstance(node, (list, tuple)):
+                node = node[int(key)]
+            else:
+                raise KeyError(str(key))
+        return node
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    out = []
+    for path, leaf in flat:
+        try:
+            out.append(lookup(path))
+        except (KeyError, IndexError, TypeError, ValueError):
+            missing.append(jax.tree_util.keystr(path))
+            out.append(leaf)
+    if missing:
+        print("checkpoint predates fields (restored at init value): "
+              + ", ".join(missing[:8])
+              + (f" (+{len(missing) - 8} more)" if len(missing) > 8 else ""))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def restore(path: str, step: int, like: Any) -> Optional[Any]:
     """Restore the tree saved at path/<step>/, shaped like `like`."""
     path = os.path.abspath(path)
@@ -60,11 +110,14 @@ def restore(path: str, step: int, like: Any) -> Optional[Any]:
         ckpt = ocp.PyTreeCheckpointer()
         try:
             restored = ckpt.restore(target, item=_np_tree(like))
-        except Exception as e:  # structure drift (e.g. a checkpoint written
-            # before AgentState gained a field): treat as not-restorable
-            # rather than crashing the resume/rollback path
-            print(f"checkpoint restore failed for {target}: {e}")
-            return None
+        except Exception:  # structure drift (a checkpoint written before a
+            # state dataclass gained/lost a field): fall back to a
+            # template-free restore merged onto `like` by key path
+            try:
+                restored = _merge_raw(ckpt.restore(target), _np_tree(like))
+            except Exception as e:
+                print(f"checkpoint restore failed for {target}: {e}")
+                return None
 
         def back(l, r):
             la = np.asarray(l)

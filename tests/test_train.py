@@ -96,6 +96,55 @@ def test_resume_without_replay_rewarm(tmp_path):
     assert "critic_loss" in rows[8]
 
 
+def test_restore_forward_compat_new_field(tmp_path):
+    """A checkpoint written before a state dataclass gained a field must
+    still restore, with the new field at its template value (measured
+    failure: runs/flag_r2c's 225k resume was rejected outright after
+    AgentState gained `gate_cooldown`, silently restarting a 250k run
+    from scratch; core/checkpoint._merge_raw is the fix)."""
+    from typing import Any
+
+    import jax.numpy as jnp
+    from flax import struct
+
+    from sgqn_carla_tpu.core import checkpoint as ckpt
+
+    class Old(struct.PyTreeNode):
+        a: Any
+        opt: Any
+
+    class New(struct.PyTreeNode):
+        a: Any
+        opt: Any
+        extra: Any = None    # new optional field, disabled (None subtree)
+        extra2: Any = None   # new optional field, enabled (array leaf)
+
+    old = Old(a=jnp.float32(3.5),
+              opt={"m": jnp.arange(4, dtype=jnp.float32)})
+    ckpt.save(str(tmp_path / "r"),
+              {"astate": old, "rng": jnp.zeros(2, jnp.uint32)}, 5)
+
+    # disabled new field: restores, field stays None
+    like = {"astate": New(a=jnp.float32(0), opt={"m": jnp.zeros(4)}),
+            "rng": jnp.zeros(2, jnp.uint32)}
+    r = ckpt.restore(str(tmp_path / "r"), 5, like)
+    assert r is not None
+    assert float(r["astate"].a) == 3.5
+    np.testing.assert_array_equal(np.asarray(r["astate"].opt["m"]),
+                                  np.arange(4, dtype=np.float32))
+    assert r["astate"].extra is None
+
+    # enabled new field (an array leaf the checkpoint lacks): every stored
+    # leaf restores, the new leaf keeps its template init value
+    like2 = {"astate": New(a=jnp.float32(0), opt={"m": jnp.zeros(4)},
+                           extra2=jnp.int32(7)),
+             "rng": jnp.zeros(2, jnp.uint32)}
+    r2 = ckpt.restore(str(tmp_path / "r"), 5, like2)
+    assert r2 is not None
+    assert float(r2["astate"].a) == 3.5
+    assert int(r2["astate"].extra2) == 7
+
+
 def test_collapse_guard_rollback(tmp_path, monkeypatch):
     """Failure detection + elastic recovery (SURVEY §5 — the reference has
     neither): inject one collapsed chunk via the fault hook and assert the
