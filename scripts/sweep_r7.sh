@@ -42,10 +42,20 @@ for E in 1536 1024 2048; do
     | tee -a /tmp/bench_sweep_r2.log
 done
 
-# ---- hopper-stand DrQ, bounded: the stiction-fix learnability test
-timeout 2400 python -m sgqn_carla_tpu.train.train \
-  --domain_name hopper --task_name stand --algorithm drq --train_steps 100k \
-  --init_steps 1000 --eval_mode none --num_envs 8 --save_freq 25k --seed 0 \
-  --log_dir runs/hopper_r2 || echo "HOPPER ENDED rc=$?"
+# ---- hopper-stand DrQ, bounded: the stiction-fix learnability test.
+# Dynamic bound: the driver's end-of-round bench.py must find the chip
+# free, so stop 10 min before the estimated round deadline (epoch below
+# derived from PROGRESS.jsonl wall_s vs the ~12h round budget).
+DEADLINE=1787182519
+LEFT=$(( DEADLINE - 600 - $(date +%s) ))
+if [ "$LEFT" -ge 600 ]; then
+  [ "$LEFT" -gt 2400 ] && LEFT=2400
+  timeout "$LEFT" python -m sgqn_carla_tpu.train.train \
+    --domain_name hopper --task_name stand --algorithm drq --train_steps 100k \
+    --init_steps 1000 --eval_mode none --num_envs 8 --save_freq 10k --seed 0 \
+    --log_dir runs/hopper_r2 || echo "HOPPER ENDED rc=$?"
+else
+  echo "SKIP hopper: ${LEFT}s left before the round deadline"
+fi
 
 echo "=== SWEEP R7 DONE ==="
