@@ -107,22 +107,31 @@ class SGSAC(SAC):
     def critic_loss_fn(self, params, state, batch: Batch, target_q, rng,
                        ctx=None):
         obs = batch.obs.astype(jnp.float32)
-        q1, q2 = self.critic_forward(params, obs, batch.action)
+        if not self.consistency:
+            q1, q2 = self.critic_forward(params, obs, batch.action)
+            loss = (jnp.mean((q1 - target_q) ** 2)
+                    + jnp.mean((q2 - target_q) ** 2))
+            return loss, {"critic_loss": loss,
+                          **self._critic_diag(q1, q2, batch)}
+        mask = ctx["mask"]
+        # single uniform fill value in [obs.min(), obs.max()]
+        # (reference: sgsac.py:67-70 random.uniform on scalars)
+        fill = jax.random.uniform(rng, (), jnp.float32,
+                                  jnp.min(obs), jnp.max(obs))
+        masked_obs = jnp.where(mask, obs, fill)
+        # one trunk traversal at 2B instead of two at B: conv fwd/bwd are
+        # batch-parallel, so stacking [obs; masked_obs] is numerically
+        # identical and halves the critic pass's conv dispatch count
+        both = jnp.concatenate([obs, masked_obs], axis=0)
+        bq1, bq2 = self.critic_forward(params, both,
+                                       jnp.concatenate([batch.action] * 2, 0))
+        b = obs.shape[0]
+        q1, mq1 = bq1[:b], bq1[b:]
+        q2, mq2 = bq2[:b], bq2[b:]
         loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
-        diag = self._critic_diag(q1, q2, batch)
-        metrics = {"critic_loss": loss, **diag}
-        if self.consistency:
-            mask = ctx["mask"]
-            # single uniform fill value in [obs.min(), obs.max()]
-            # (reference: sgsac.py:67-70 random.uniform on scalars)
-            fill = jax.random.uniform(rng, (), jnp.float32,
-                                      jnp.min(obs), jnp.max(obs))
-            masked_obs = jnp.where(mask, obs, fill)
-            mq1, mq2 = self.critic_forward(params, masked_obs, batch.action)
-            loss = loss + 0.5 * (jnp.mean((q1 - mq1) ** 2)
-                                 + jnp.mean((q2 - mq2) ** 2))
-            metrics = {"critic_loss": loss, **diag}
-        return loss, metrics
+        loss = loss + 0.5 * (jnp.mean((q1 - mq1) ** 2)
+                             + jnp.mean((q2 - mq2) ** 2))
+        return loss, {"critic_loss": loss, **self._critic_diag(q1, q2, batch)}
 
     # ------------------------------------------------------------------- aux
     def update_aux(self, state: AgentState, batch: Batch, buffer: ReplayBuffer,
