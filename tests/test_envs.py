@@ -66,6 +66,34 @@ class TestDMCPixelEnv:
         diff = np.abs(np.asarray(ot, np.int32) - np.asarray(oc, np.int32)).mean()
         assert diff < 40.0
 
+    def test_color_hard_calibrated_to_field_deltas(self):
+        """Round-3 calibration (VERDICT item 5): hard rows stay anchored to
+        the scene defaults (±0.5/channel, reference DMCGB-style jitter of
+        the settings.py field set) instead of full-range uniform colors
+        that can camouflage the body against the floor."""
+        from sgqn_carla_tpu.data.colors import (_DEFAULTS, _FIELDS,
+                                                make_color_table)
+        easy = make_color_table("color_easy")
+        hard = make_color_table("color_hard")
+        for f in _FIELDS:
+            d = _DEFAULTS[f][None]
+            de = np.abs(np.asarray(easy[f]) - d)
+            dh = np.abs(np.asarray(hard[f]) - d)
+            assert de.max() <= 0.1 + 1e-6, f
+            assert dh.max() <= 0.5 + 1e-6, f          # default-anchored
+            assert de.mean() < dh.mean(), f           # easy < hard harshness
+
+    def test_color_harshness_ordering_on_frames(self):
+        """easy frames sit closer to the train scene than hard frames
+        (fixed physics seed ⇒ pixel diff measures only the recolor)."""
+        _, ot = _env(mode="train").reset(jax.random.PRNGKey(0))
+        _, oe = _env(mode="color_easy").reset(jax.random.PRNGKey(0))
+        _, oh = _env(mode="color_hard").reset(jax.random.PRNGKey(0))
+        ot = np.asarray(ot, np.int32)
+        de = np.abs(ot - np.asarray(oe, np.int32)).mean()
+        dh = np.abs(ot - np.asarray(oh, np.int32)).mean()
+        assert de < dh
+
     def test_video_mode_composites_and_animates(self):
         env = _env(mode="video_easy")
         state, o0 = env.reset(jax.random.PRNGKey(0))
