@@ -220,7 +220,20 @@ class Config:
                                  # (reference: train.py:148-153); an on-device uint8
                                  # frame ring at 600k steps is ~15 GB/env-stream
                                  # (SURVEY §7 hard part #6), so we cap at 100k and
-                                 # let users raise it explicitly when HBM allows.
+                                 # let users raise it explicitly when HBM allows —
+                                 # or set --replay_spill host for full reference
+                                 # capacity behind a device working set.
+    replay_spill: str = "none"   # "host": keep the FULL replay_capacity in a
+                                 # host-RAM ring (reference semantics,
+                                 # train.py:148-153) behind the HBM working
+                                 # set; episodes spill D2H and random host
+                                 # episodes refresh device slots at each
+                                 # fused-chunk boundary (data/spill.py) — no
+                                 # per-step host traffic.
+    replay_device_capacity: int = 100_000  # HBM working-set size (steps) when
+                                 # replay_spill=host (docs/PERF.md HBM table:
+                                 # 200k fits at 16 envs beside the sgsac
+                                 # program; 100k is the safe default)
 
     # derived (set by finalize)
     image_size: int = 84
@@ -254,7 +267,12 @@ class Config:
         else:
             updates["render_size"] = self.render_size
         if self.replay_capacity == 0:
-            updates["replay_capacity"] = min(self.train_steps, 100_000)
+            # spill mode restores the reference default (train.py:148-153:
+            # capacity = train_steps); device-only mode caps for HBM
+            updates["replay_capacity"] = (
+                self.train_steps if self.replay_spill == "host"
+                else min(self.train_steps, 100_000))
+        assert self.replay_spill in ("none", "host"), self.replay_spill
         return dataclasses.replace(self, **updates)
 
     def replace(self, **kw) -> "Config":

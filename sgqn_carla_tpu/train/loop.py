@@ -164,12 +164,26 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         test_modes.append(m)
 
     venv = VectorEnv(env, cfg.num_envs)
+    spill = None
+    device_capacity = cfg.replay_capacity
+    if cfg.replay_spill == "host":
+        # full reference capacity in host RAM behind the HBM working set
+        # (data/spill.py); the device ring samples as usual inside the
+        # fused chunk, episodes exchange at chunk boundaries only
+        device_capacity = min(cfg.replay_device_capacity, cfg.replay_capacity)
     buffer = ReplayBuffer(
         num_envs=cfg.num_envs, episode_len=env.max_episode_steps,
-        capacity=cfg.replay_capacity, image_size=cfg.image_size,
+        capacity=device_capacity, image_size=cfg.image_size,
         action_size=env.action_size, frame_stack=cfg.frame_stack,
         batch_size=cfg.batch_size, policy=cfg.replay_policy)
     rstate = buffer.init()
+    if cfg.replay_spill == "host" and cfg.replay_capacity > device_capacity:
+        assert cfg.mesh_data_axis <= 1, (
+            "replay_spill=host is single-chip for now (the chunk-boundary "
+            "exchange would need per-shard transfers under a mesh)")
+        from sgqn_carla_tpu.data.spill import HostSpill
+        spill = HostSpill(buffer, capacity=cfg.replay_capacity,
+                          seed=cfg.seed)
 
     agent = make_agent((3 * cfg.frame_stack, cfg.image_crop_size,
                         cfg.image_crop_size), (env.action_size,), cfg)
@@ -280,6 +294,8 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     while step < total_steps:
         # ---- one fused episode chunk: act → env → replay [→ update] × T
         length = min(ep_len, total_steps - step)
+        spill_slot = (int(jax.device_get(rstate.ep_ptr))
+                      if spill is not None and length == ep_len else None)
         if step + length <= cfg.init_steps:
             rng, k = jax.random.split(rng)
             states, rstate, obs, _, ep_rewards = trainer.random_chunk(
@@ -305,6 +321,11 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                     if hasattr(x, "block_until_ready") else x, ep_rewards)
                 jax.profiler.stop_trace()
         step += length
+
+        if spill_slot is not None:
+            # chunk boundary: spill the completed episode, refresh the
+            # device working set from the host window (data/spill.py)
+            rstate = spill.after_chunk(rstate, spill_slot)
 
         ep_reward = float(np.asarray(ep_rewards).mean())
         L.log("train/episode_reward", ep_reward, step)
@@ -372,6 +393,10 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                         states, obs = shard_env(states), shard_env(obs)
                         rstate = shard_env(add_reset_fn(buffer.init(), obs))
                         rewarm_until = step + max(cfg.init_steps, 0)
+                        if spill is not None:
+                            # the host window has absorbed collapse-era
+                            # episodes too — drop it with the device ring
+                            spill.reset()
                     print(f"Collapse guard: reward {ep_reward:.1f} < "
                           f"{cfg.guard_collapse:.2f} x best {best_ema:.1f}; "
                           f"rolled back to step {last} "
