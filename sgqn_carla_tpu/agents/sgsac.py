@@ -40,6 +40,9 @@ class SGSAC(SAC):
         super().__init__(*args, **kw)
         self.quantile = self.cfg.sgqn_quantile
         self.consistency = bool(self.cfg.consistency)
+        import os
+        self._concat_consistency = (
+            os.environ.get("SGQN_SGSAC_CONCAT", "0") == "1")
         # trunk output spatial dim: (84-3)//2+1 = 41, minus 2 per s1 conv
         spatial = 41 - 2 * (self.cfg.num_shared_layers - 1
                             + self.cfg.num_head_layers)
@@ -119,15 +122,23 @@ class SGSAC(SAC):
         fill = jax.random.uniform(rng, (), jnp.float32,
                                   jnp.min(obs), jnp.max(obs))
         masked_obs = jnp.where(mask, obs, fill)
-        # one trunk traversal at 2B instead of two at B: conv fwd/bwd are
-        # batch-parallel, so stacking [obs; masked_obs] is numerically
-        # identical and halves the critic pass's conv dispatch count
-        both = jnp.concatenate([obs, masked_obs], axis=0)
-        bq1, bq2 = self.critic_forward(params, both,
-                                       jnp.concatenate([batch.action] * 2, 0))
-        b = obs.shape[0]
-        q1, mq1 = bq1[:b], bq1[b:]
-        q2, mq2 = bq2[:b], bq2[b:]
+        if self._concat_consistency:
+            # one trunk traversal at 2B instead of two at B — numerically
+            # identical (convs are batch-parallel) and fewer dispatches, BUT
+            # it defeats XLA's CSE of the attribution forward against the
+            # B-sized obs forward (measured in HLO: sac compiles to exactly
+            # its nominal conv count, so that CSE is the only free sharing
+            # in the program). Which wins is a TPU measurement
+            # (SGQN_SGSAC_CONCAT=1, scripts/profile_update.py).
+            both = jnp.concatenate([obs, masked_obs], axis=0)
+            bq1, bq2 = self.critic_forward(
+                params, both, jnp.concatenate([batch.action] * 2, 0))
+            b = obs.shape[0]
+            q1, mq1 = bq1[:b], bq1[b:]
+            q2, mq2 = bq2[:b], bq2[b:]
+        else:
+            q1, q2 = self.critic_forward(params, obs, batch.action)
+            mq1, mq2 = self.critic_forward(params, masked_obs, batch.action)
         loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
         loss = loss + 0.5 * (jnp.mean((q1 - mq1) ** 2)
                              + jnp.mean((q2 - mq2) ** 2))
