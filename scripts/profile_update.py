@@ -69,9 +69,11 @@ def main():
                           image_size=84, action_size=6, batch_size=batch)
     rstate = make_ring(buffer)
 
+    precision = os.environ.get("SGQN_PROFILE_PRECISION", "bf16")
+
     def upd_loop(algo):
         cfg = Config(domain_name="walker", task_name="walk", algorithm=algo,
-                     batch_size=batch).finalize()
+                     batch_size=batch, precision=precision).finalize()
         agent = make_agent((9, 84, 84), (6,), cfg)
         astate = agent.init_state(jax.random.PRNGKey(0))
 
@@ -110,17 +112,39 @@ def main():
         o, s = jax.lax.scan(body, obs, None, length=inner)
         return s.sum()
 
+    def sort_mask(obs_grad, quantile=0.95):
+        """Round-2 formulation (full jnp.quantile sort) for the A/B."""
+        b, c, h, w = obs_grad.shape
+        masks = []
+        for i in (0, 3, 6):
+            attr = jnp.max(jnp.abs(obs_grad[:, i:i + 3]), axis=1)
+            q = jnp.quantile(attr.reshape(b, -1), quantile, axis=1)
+            masks.append(jnp.repeat((attr >= q[:, None, None])[:, None], 3,
+                                    axis=1))
+        return jnp.concatenate(masks, axis=1)
+
+    @jax.jit
+    def sortmask_loop(obs):
+        def body(o, _):
+            m = sort_mask(o, 0.95)
+            return o + 1e-12 * m.sum(), m.sum()
+        o, s = jax.lax.scan(body, obs, None, length=inner)
+        return s.sum()
+
     t_attr = timeit(attr_loop, obs)
     t_mask = timeit(mask_loop, obs)
+    t_sortmask = timeit(sortmask_loop, obs)
 
     ms = lambda t: round(1e3 * t / inner, 3)
     print(json.dumps({
-        "batch": batch, "inner": inner,
+        "batch": batch, "inner": inner, "precision": precision,
+        "concat": os.environ.get("SGQN_SGSAC_CONCAT", "0"),
         "sgsac_update_ms": ms(t_sgsac),
         "sac_update_ms": ms(t_sac),
         "svea_update_ms": ms(t_svea),
         "attribution_pass_ms": ms(t_attr),
-        "quantile_mask_ms": ms(t_mask),
+        "quantile_mask_topk_ms": ms(t_mask),
+        "quantile_mask_sort_ms": ms(t_sortmask),
     }))
 
 
