@@ -13,13 +13,22 @@ set -x
 set -o pipefail
 cd /root/repo
 
-# 0. Learner phase split + A/B knobs (~15 min incl compiles).
-for CFG in "bf16 0" "bf16 1" "f32 0"; do
-  set -- $CFG
-  SGQN_PROFILE_PRECISION=$1 SGQN_SGSAC_CONCAT=$2 timeout 1200 \
-    python scripts/profile_update.py 128 100 \
-    | tee -a /tmp/profile_update_r3.log || echo "PROFILE $CFG rc=$?"
-done
+# -1/0. Probes (conv MXU-lane microbench, hopper state-SAC discriminator,
+#       profile_update A/B) run manually before this script so their
+#       findings can adjust the flagship config; set SKIP_PROBES=0 to run
+#       them here instead.
+if [ "${SKIP_PROBES:-1}" != "1" ]; then
+  timeout 1200 python scripts/profile_conv.py 128 39 50 \
+    | tee -a /tmp/profile_conv_r3.log || echo "CONV rc=$?"
+  timeout 2400 python scripts/probe_state_sac.py hopper stand 200000 0 \
+    | tee /tmp/probe_hopper_state.log | tail -3 || echo "HPROBE rc=$?"
+  for CFG in "bf16 0" "bf16 1" "f32 0"; do
+    set -- $CFG
+    SGQN_PROFILE_PRECISION=$1 SGQN_SGSAC_CONCAT=$2 timeout 1200 \
+      python scripts/profile_update.py 128 100 \
+      | tee -a /tmp/profile_update_r3.log || echo "PROFILE $CFG rc=$?"
+  done
+fi
 
 # 1. Flagship soak #2 (same seed as soak #1 so the burst timeline is
 #    comparable): wide band + reservoir + guard + gate 5 / cooldown 250.
@@ -35,8 +44,19 @@ date +"FLAG_END %s"
 WD=runs/flag_r3b/walker_walk/sgsac/3
 test -d "$WD" || echo "MISSING WORKDIR $WD"
 
-# 2. Eval battery, video_hard first (the headline number).
-for mode in video_hard train video_easy color_hard; do
+# 2a. video_hard checkpoint timeline (the <1h wall-clock claim needs the
+#     crossing step, not just the final number; save_freq 12500 gives the
+#     grid, checkpoint dir mtimes give the wall clock).
+for s in 250000 200000 175000 150000 137500 125000 100000; do
+  if [ -d "$WD/model/$s" ] || [ -f "$WD/model/$s.npz" ]; then
+    timeout 1800 python -m sgqn_carla_tpu.train.eval $FLAG --train_steps $s \
+      --eval_mode video_hard --eval_episodes 8 || echo "EVAL vh@$s rc=$?"
+    mv -f "$WD/eval_video_hard.json" "$WD/eval_video_hard_$s.json" 2>/dev/null
+  fi
+done
+
+# 2b. Full mode battery at the final checkpoint.
+for mode in video_hard train video_easy color_hard color_easy; do
   timeout 1800 python -m sgqn_carla_tpu.train.eval $FLAG --train_steps 250k \
     --eval_mode "$mode" --eval_episodes 8 || echo "EVAL $mode rc=$?"
 done
