@@ -112,6 +112,25 @@ def main():
         o, s = jax.lax.scan(body, obs, None, length=inner)
         return s.sum()
 
+    from sgqn_carla_tpu.ops.guided_backprop import _row_quantile_topk
+
+    def topk_mask(obs_grad, quantile=0.95):
+        b, c, h, w = obs_grad.shape
+        g = obs_grad.reshape(b, 3, 3, h, w)
+        attr = jnp.max(jnp.abs(g), axis=2)
+        q = _row_quantile_topk(attr.reshape(b * 3, h * w),
+                               quantile).reshape(b, 3)
+        m = attr >= q[:, :, None, None]
+        return jnp.repeat(m, 3, axis=1)
+
+    @jax.jit
+    def topkmask_loop(obs):
+        def body(o, _):
+            m = topk_mask(o, 0.95)
+            return o + 1e-12 * m.sum(), m.sum()
+        o, s = jax.lax.scan(body, obs, None, length=inner)
+        return s.sum()
+
     def sort_mask(obs_grad, quantile=0.95):
         """Round-2 formulation (full jnp.quantile sort) for the A/B."""
         b, c, h, w = obs_grad.shape
@@ -133,6 +152,7 @@ def main():
 
     t_attr = timeit(attr_loop, obs)
     t_mask = timeit(mask_loop, obs)
+    t_topkmask = timeit(topkmask_loop, obs)
     t_sortmask = timeit(sortmask_loop, obs)
 
     ms = lambda t: round(1e3 * t / inner, 3)
@@ -143,7 +163,8 @@ def main():
         "sac_update_ms": ms(t_sac),
         "svea_update_ms": ms(t_svea),
         "attribution_pass_ms": ms(t_attr),
-        "quantile_mask_topk_ms": ms(t_mask),
+        "quantile_mask_bisect_ms": ms(t_mask),
+        "quantile_mask_topk_ms": ms(t_topkmask),
         "quantile_mask_sort_ms": ms(t_sortmask),
     }))
 

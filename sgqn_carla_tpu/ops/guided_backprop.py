@@ -48,16 +48,15 @@ def compute_attribution(q1_fn, obs, action):
     return jax.grad(scalar_q)(obs.astype(jnp.float32))
 
 
-def _row_quantile(x, quantile: float):
+def _row_quantile_topk(x, quantile: float):
     """Exact per-row `quantile` (linear interpolation — `jnp.quantile`
     semantics) via `lax.top_k` instead of a full sort.
 
-    The mask only needs the two order statistics bracketing the quantile
-    position; for the SGQN default (0.95 over 84×84 pixels) that is the
-    top ~5% — `top_k` with k≈353 beats sorting all 7056 columns on the
-    TPU's comparator-network sort (docs/PERF.md learner notes). Falls back
-    to `jnp.quantile` when the quantile is low enough that top_k would
-    cover most of the row anyway.
+    Round-3 history: top_k with k≈353 beats sorting all 7056 columns, but
+    the TPU lowers top_k to a near-full comparator-network sort, so both
+    cost ~1.65-1.86 ms at the update's (384, 7056) shape — 22% of the
+    whole SGQN update. Kept for the A/B in scripts/profile_update.py; the
+    production path is the bisection select below.
     """
     n = x.shape[-1]
     pos = quantile * (n - 1)            # fractional index in ascending order
@@ -69,6 +68,46 @@ def _row_quantile(x, quantile: float):
     top = jax.lax.top_k(x, k)[0]        # descending, shape (..., k)
     v_lo = top[..., k - 1]              # asc[lo]
     v_hi = top[..., k - 2] if k >= 2 else top[..., 0]  # asc[lo+1]
+    return v_lo + frac * (v_hi - v_lo)
+
+
+def _row_quantile(x, quantile: float):
+    """Exact per-row `quantile` (`jnp.quantile` linear-interpolation
+    semantics) of NON-NEGATIVE f32 rows, via bisection on the IEEE bit
+    pattern instead of a sort.
+
+    For x ≥ 0, the f32 bit pattern viewed as int32 is monotone in x, so
+    the k-th largest element is found exactly by 31 unrolled bisection
+    steps, each a (rows, n) compare + row-sum — ~90M VPU op-units at the
+    update's (384, 7056) shape versus a full comparator-network sort
+    (`top_k` ≈ sort on TPU: 1.65 ms measured; docs/PERF.md learner
+    notes). The two order statistics bracketing the quantile position are
+    recovered exactly (ties included), so the result is bit-identical to
+    `jnp.quantile` for every finite non-negative input.
+    """
+    n = x.shape[-1]
+    pos = quantile * (n - 1)            # fractional index in ascending order
+    low_idx = int(np.floor(pos))
+    frac = pos - low_idx
+    k = n - low_idx                     # v_lo = k-th LARGEST = asc[low_idx]
+    keys = jax.lax.bitcast_convert_type(x, jnp.int32)
+    lo = jnp.zeros(x.shape[:-1], jnp.int32)             # count_ge(lo) >= k
+    hi = jnp.full(x.shape[:-1], jnp.int32(0x7F800000))  # count_ge(inf) = 0 < k
+    for _ in range(31):
+        mid = lo + (hi - lo) // 2
+        ge = jnp.sum(keys >= mid[..., None], axis=-1) >= k
+        lo = jnp.where(ge, mid, lo)
+        hi = jnp.where(ge, hi, mid)
+    v_lo = jax.lax.bitcast_convert_type(lo, jnp.float32)
+    if k < 2:
+        return v_lo
+    # asc[low_idx + 1] (the (k-1)-th largest): with c = #{x > v_lo} < k,
+    # either c == k-1 (no tie spill: it is the smallest element above v_lo)
+    # or c < k-1 (ties: it is v_lo again).
+    gt = x > v_lo[..., None]
+    c = jnp.sum(gt, axis=-1)
+    above_min = jnp.min(jnp.where(gt, x, jnp.inf), axis=-1)
+    v_hi = jnp.where(c == k - 1, above_min, v_lo)
     return v_lo + frac * (v_hi - v_lo)
 
 

@@ -168,6 +168,27 @@ class TestGuidedBackprop:
         frac = np.asarray(mask[:, :3]).mean()
         assert 0.05 < frac < 0.20  # ~10% of pixels above the 0.9 quantile
 
+    def test_row_quantile_bisect_exact(self):
+        """The bisection select (production) must return bit-identical
+        order statistics to the top_k formulation it replaced — ties,
+        zero rows, and assorted quantiles included."""
+        from sgqn_carla_tpu.ops.guided_backprop import (
+            _row_quantile, _row_quantile_topk)
+
+        rng = np.random.RandomState(7)
+        for trial in range(12):
+            n = int(rng.choice([50, 64, 100, 600]))
+            rows = int(rng.randint(1, 6))
+            q = float(rng.choice([0.9, 0.95, 0.98]))
+            x = np.abs(rng.randn(rows, n)).astype(np.float32)
+            if trial % 3 == 0:
+                x = (x * 4).round() / 4        # heavy ties
+            if trial % 4 == 0:
+                x[:, : n // 3] = 0.0           # zero plateaus
+            got = np.asarray(_row_quantile(jnp.asarray(x), q))
+            ref = np.asarray(_row_quantile_topk(jnp.asarray(x), q))
+            np.testing.assert_array_equal(got, ref)
+
     def test_sgsac_attribution_shapes(self):
         agent, state, buf, rstate = _mk("sgsac", num_shared_layers=11,
                                         num_filters=8)
