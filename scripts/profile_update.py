@@ -159,6 +159,7 @@ def main():
     print(json.dumps({
         "batch": batch, "inner": inner, "precision": precision,
         "concat": os.environ.get("SGQN_SGSAC_CONCAT", "0"),
+        "packed": os.environ.get("SGQN_PACKED", "1"),
         "sgsac_update_ms": ms(t_sgsac),
         "sac_update_ms": ms(t_sac),
         "svea_update_ms": ms(t_svea),

@@ -110,6 +110,64 @@ class Trunk(nn.Module):
         return x.astype(jnp.float32)
 
 
+def trunk_packed_apply(params_list, x_list, num_shared_layers: int = 11,
+                       num_head_layers: int = 0, dtype: Any = jnp.float32,
+                       act: Callable = nn.relu):
+    """Evaluate g trunk forwards as ONE grouped-conv pass.
+
+    Numerically equivalent to ``[Trunk.apply({"params": p}, x, act) for p, x
+    in zip(params_list, x_list)]`` — but every conv layer runs as a single
+    ``lax.conv_general_dilated`` with ``feature_group_count=g``. The SGQN
+    update traverses the 32-filter trunk ~6× per step (obs / masked-obs /
+    next×online / next×target / attribution / aux); at 32 channels each
+    traversal fills only a quarter of the TPU's 128-wide vector-lane
+    dimension, so packing g of them along the channel axis costs ~1.2-1.4×
+    ONE traversal instead of g× (measured: scripts/profile_conv.py — a
+    grouped conv packing 4 independent 32-channel paths times 1.4× a single
+    one; docs/PERF.md learner notes).
+
+    Weight tying across groups is by passing the SAME param tree object
+    multiple times: the packed kernel is a concat of per-group kernels along
+    the output-feature axis, so under autodiff the cotangent of a tied tree
+    is automatically the sum over its groups — identical to running the
+    forwards separately with shared weights.
+
+    params_list: g trunk param trees ({"shared": {...}, "head": {...}}).
+    x_list: g inputs, each (B, C, H, W) reference layout, same shapes.
+    Returns a list of g flattened f32 feature arrays (B, F), in the same
+    (H, W, C)-major order as ``Trunk.__call__``.
+    """
+    g = len(params_list)
+    assert len(x_list) == g and g >= 1
+
+    def pre(x):
+        x = center_crop(x, 84)
+        return jnp.transpose(x, (0, 2, 3, 1)).astype(dtype) / 255.0
+
+    x = jnp.concatenate([pre(xi) for xi in x_list], axis=-1)
+
+    def packed_conv(x, scope, name, stride):
+        k = jnp.concatenate(
+            [p[scope][name]["kernel"].astype(dtype) for p in params_list],
+            axis=3)
+        b = jnp.concatenate(
+            [p[scope][name]["bias"].astype(dtype) for p in params_list],
+            axis=0)
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(stride, stride), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g)
+        return y + b
+
+    x = packed_conv(x, "shared", "conv0", 2)
+    for i in range(1, num_shared_layers):
+        x = packed_conv(act(x), "shared", f"conv{i}", 1)
+    for i in range(num_head_layers):
+        x = packed_conv(act(x), "head", f"hconv{i}", 1)
+    outs = jnp.split(x, g, axis=-1)
+    return [o.reshape(o.shape[0], -1).astype(jnp.float32) for o in outs]
+
+
 class RLProjection(nn.Module):
     out_dim: int = 100
 

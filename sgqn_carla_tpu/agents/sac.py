@@ -17,6 +17,7 @@ pure `(AgentState, ReplayState, rng) -> AgentState` transformer.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -74,6 +75,12 @@ class SAC:
 
         compute_dtype = (jnp.bfloat16 if cfg.precision == "bf16"
                          else jnp.float32)
+        self._compute_dtype = compute_dtype
+        # Grouped-conv packing of co-occurring trunk traversals
+        # (nets.trunk_packed_apply): numerically equivalent, ~1.2-1.4× ONE
+        # traversal instead of g× (docs/PERF.md learner notes). SGQN_PACKED=0
+        # restores the separate-forward formulation for A/Bs.
+        self._packed = os.environ.get("SGQN_PACKED", "1") == "1"
         self.trunk_def = nets.Trunk(cfg.num_shared_layers, cfg.num_head_layers,
                                     cfg.num_filters, dtype=compute_dtype)
         self.actor_def = nets.ActorHead(
@@ -117,12 +124,25 @@ class SAC:
     def policy(self, params, obs, rng):
         """(mu, pi, log_pi, log_std) with squashing (reference: sac.py:95-105
         via modules.Actor.forward)."""
-        mu, log_std = self.actor_forward(params, obs)
+        h = self.feats(params, obs)
+        return self.policy_from_feats(params, h, rng)
+
+    def policy_from_feats(self, params, feats, rng):
+        """`policy` on precomputed trunk features (the packed target pass
+        hands the next-obs features in directly)."""
+        mu, log_std = self.actor_def.apply({"params": params["actor"]}, feats)
         noise = jax.random.normal(rng, mu.shape)
         pi = mu + noise * jnp.exp(log_std)
         log_pi = nets.gaussian_logprob(noise, log_std)
         mu, pi, log_pi = nets.squash(mu, pi, log_pi)
         return mu, pi, log_pi, log_std
+
+    def _packed_trunk(self, trunks, inputs, act: Callable = jax.nn.relu):
+        """Grouped-conv pack of len(trunks) trunk forwards (nets.
+        trunk_packed_apply bound to this agent's architecture)."""
+        return nets.trunk_packed_apply(
+            trunks, inputs, self.cfg.num_shared_layers,
+            self.cfg.num_head_layers, self._compute_dtype, act)
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng) -> AgentState:
@@ -134,8 +154,12 @@ class SAC:
         dummy_act = jnp.zeros((1, self.action_dim), jnp.float32)
         critic = self.critic_def.init(k_c, feats, dummy_act)["params"]
         params = {"trunk": trunk, "actor": actor, "critic": critic}
+        # jnp.copy, not identity: the fused trainer DONATES the agent state,
+        # and a pytree holding the same device buffer twice (params + target
+        # aliased at init) is an INVALID_ARGUMENT at donation time on the
+        # TPU runtime
         target = jax.tree_util.tree_map(
-            lambda x: x, {"trunk": trunk, "critic": critic})
+            jnp.copy, {"trunk": trunk, "critic": critic})
         state = AgentState(
             params=params,
             target_params=target,
@@ -192,11 +216,25 @@ class SAC:
         )
 
     # --------------------------------------------------------------- losses
-    def critic_target_values(self, state: AgentState, batch: Batch, rng):
-        _, pi, log_pi, _ = self.policy(state.params,
-                                       batch.next_obs.astype(jnp.float32), rng)
-        tq1, tq2 = self.critic_forward(state.target_params,
-                                       batch.next_obs.astype(jnp.float32), pi)
+    def critic_target_values(self, state: AgentState, batch: Batch, rng,
+                             ctx=None):
+        nobs = batch.next_obs.astype(jnp.float32)
+        if ctx is not None and "next_feats" in ctx:
+            # the algorithm's update_context already ran next_obs through
+            # both trunks (e.g. packed with SGQN's attribution pass)
+            f_on, f_tg = ctx["next_feats"], ctx["next_tfeats"]
+        elif self._packed:
+            # ONE grouped conv pass for the two next-obs traversals
+            # (online trunk for π, target trunk for the backup Q)
+            f_on, f_tg = self._packed_trunk(
+                [state.params["trunk"], state.target_params["trunk"]],
+                [nobs, nobs])
+        else:
+            f_on = self.feats(state.params, nobs)
+            f_tg = self.feats(state.target_params, nobs)
+        _, pi, log_pi, _ = self.policy_from_feats(state.params, f_on, rng)
+        tq1, tq2 = self.critic_def.apply(
+            {"params": state.target_params["critic"]}, f_tg, pi)
         alpha = jnp.exp(state.log_alpha)
         tv = jnp.minimum(tq1, tq2) - alpha * log_pi
         target_q = batch.reward + batch.not_done * self.discount * tv
@@ -216,11 +254,17 @@ class SAC:
 
     def critic_loss_fn(self, params, state: AgentState, batch: Batch,
                        target_q, rng, ctx=None) -> Tuple[jnp.ndarray, Dict]:
-        q1, q2 = self.critic_forward(params, batch.obs.astype(jnp.float32),
-                                     batch.action)
+        feats = self.feats(params, batch.obs.astype(jnp.float32))
+        q1, q2 = self.critic_def.apply({"params": params["critic"]}, feats,
+                                       batch.action)
         loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
-        return loss, {"critic_loss": loss,
-                      **self._critic_diag(q1, q2, batch)}
+        out = {"critic_loss": loss, **self._critic_diag(q1, q2, batch)}
+        if self._packed:
+            # hand the (detached) obs features to the actor update — its
+            # cond branch would otherwise re-run the trunk, and CSE cannot
+            # reach across a lax.cond boundary
+            out["_obs_feats"] = jax.lax.stop_gradient(feats)
+        return loss, out
 
     def _critic_diag(self, q1, q2, batch: Batch) -> Dict:
         """Collapse-study diagnostics (docs/PERF.md open trigger): Q level,
@@ -250,12 +294,18 @@ class SAC:
 
     def update_critic(self, state: AgentState, batch: Batch, rng, ctx=None):
         k_t, k_l = jax.random.split(rng)
-        target_q = self.critic_target_values(state, batch, k_t)
+        target_q = self.critic_target_values(state, batch, k_t, ctx)
         c_params = {"trunk": state.params["trunk"],
                     "critic": state.params["critic"]}
         (loss, metrics), grads = jax.value_and_grad(
             self.critic_loss_fn, has_aux=True)(
                 c_params, state, batch, target_q, k_l, ctx)
+        return self._apply_critic_grads(state, c_params, loss, grads, metrics)
+
+    def _apply_critic_grads(self, state: AgentState, c_params, loss, grads,
+                            metrics):
+        """TD-anomaly gate + cooldown + Adam application on critic grads
+        (shared by the base update and SGQN's folded critic+aux pass)."""
         if state.critic_loss_ema is not None:
             # TD-anomaly gate (cfg.td_anomaly_gate): the measured collapse
             # onset (docs/PERF.md) is a critic-loss burst ~10× its running
@@ -308,9 +358,18 @@ class SAC:
         params["critic"] = new_c["critic"]
         return state.replace(params=params, critic_opt=new_opt), metrics
 
-    def update_actor_and_alpha(self, state: AgentState, batch: Batch, rng):
-        obs = batch.obs.astype(jnp.float32)
-        feats = jax.lax.stop_gradient(self.feats(state.params, obs))
+    def update_actor_and_alpha(self, state: AgentState, batch: Batch, rng,
+                               feats=None):
+        """When `feats` is given it is the critic pass's detached trunk(obs)
+        — computed with the params ONE critic-Adam-step before this call
+        (the reference recomputes the encoder after the critic step,
+        sac.py:137-140). Same one-step-stale sharing as SGQN's update_context
+        mask (measured indistinguishable there); validated against the
+        recompute formulation by the cartpole/walker learning-curve smokes
+        (SGQN_PACKED=0 restores the recompute)."""
+        if feats is None:
+            obs = batch.obs.astype(jnp.float32)
+            feats = jax.lax.stop_gradient(self.feats(state.params, obs))
 
         def actor_loss_fn(actor_params):
             mu, log_std = self.actor_def.apply({"params": actor_params}, feats)
@@ -383,9 +442,12 @@ class SAC:
         ctx = self.update_context(state, batch, k_ctx)
 
         state, c_metrics = self.update_critic(state, batch, k_c, ctx)
+        # detached obs features from the critic pass (see critic_loss_fn) —
+        # reused by the actor so its cond branch skips a trunk traversal
+        obs_feats = c_metrics.pop("_obs_feats", None)
 
         def do_actor(s):
-            s2, m = self.update_actor_and_alpha(s, batch, k_a)
+            s2, m = self.update_actor_and_alpha(s, batch, k_a, obs_feats)
             return s2, m
 
         def skip_actor(s):

@@ -54,6 +54,26 @@ class SVEA(SAC):
         obs = batch.obs.astype(jnp.float32)
         obs_aug = augment.random_overlay(rng, obs, self.overlay_pool,
                                          self.cfg.alpha_blending)
+        if self._packed:
+            # clean + overlay view through ONE grouped conv pass (g=2) —
+            # the batch-concat formulation below pays 2× a single forward,
+            # the channel-packed one ~1.2× (docs/PERF.md learner notes)
+            n = obs.shape[0]
+            f_c, f_a = self._packed_trunk(
+                [params["trunk"], params["trunk"]], [obs, obs_aug])
+            fc = jnp.concatenate([f_c, f_a], axis=0)
+            q1c, q2c = self.critic_def.apply(
+                {"params": params["critic"]}, fc,
+                jnp.concatenate([batch.action] * 2, 0))
+            q1, q1a = q1c[:n], q1c[n:]
+            q2, q2a = q2c[:n], q2c[n:]
+            loss = a * (jnp.mean((q1 - target_q) ** 2)
+                        + jnp.mean((q2 - target_q) ** 2))
+            loss = loss + b * (jnp.mean((q1a - target_q) ** 2)
+                               + jnp.mean((q2a - target_q) ** 2))
+            return loss, {"critic_loss": loss,
+                          "_obs_feats": jax.lax.stop_gradient(f_c),
+                          **self._critic_diag(q1, q2, batch)}
         if a == b:
             obs_cat = jnp.concatenate([obs, obs_aug], axis=0)
             act_cat = jnp.concatenate([batch.action, batch.action], axis=0)
@@ -257,8 +277,10 @@ class SODA(SAC):
         aux_stats = {"proj": proj_vars.get("batch_stats", {}),
                      "pred": pred_vars.get("batch_stats", {})}
         # EMA target of (trunk, proj) — reference predictor_target (soda.py:28)
-        target = {"trunk": state.params["trunk"], "proj": aux_params["proj"],
-                  "proj_stats": aux_stats["proj"]}
+        # (copied: donated agent states must not hold any buffer twice)
+        target = jax.tree_util.tree_map(jnp.copy, {
+            "trunk": state.params["trunk"], "proj": aux_params["proj"],
+            "proj_stats": aux_stats["proj"]})
         full = {"trunk": state.params["trunk"], **aux_params}
         return state.replace(
             aux_params=aux_params, aux_opt=self.aux_tx.init(full),

@@ -55,7 +55,18 @@ class FusedTrainer:
             return (astate, states, rstate, res.obs, rng), (
                 res.reward, metrics)
 
-        @jax.jit
+        # Donate the whole carry: the replay ring dominates HBM (capacity ×
+        # 21.2 kB, docs/PERF.md), and without input→output aliasing every
+        # chunk boundary holds TWO rings (the input and the scan's output)
+        # — at num_envs=16 that double-ring plus the guard-rollback rewarm
+        # program is exactly the RESOURCE_EXHAUSTED that killed the first
+        # flag_r3b soak at its first rollback. Callers rebind every carry
+        # element (train/loop.py:315) and checkpoint saves copy to host
+        # (np.asarray) before the next chunk.
+        # env states / obs stay undonated: the wrapper state carries the
+        # frame-stack buffer, which can alias the obs array — and the TPU
+        # runtime rejects a donation set containing one buffer twice
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
         def chunk(astate, states, rstate, obs, rng):
             (astate, states, rstate, obs, rng), (rewards, metrics) = (
                 jax.lax.scan(body, (astate, states, rstate, obs, rng), None,
@@ -71,6 +82,15 @@ class FusedTrainer:
                   rstate, obs, rng):
         key = (length, do_updates, self.updates_per_step)
         if key not in self._chunk_cache:
+            # mode switch (train ↔ rewarm after a guard rollback): drop the
+            # other mode's executable before compiling this one — the two
+            # full-scale programs need not stay resident together, and the
+            # persistent compile cache makes the switch back cheap
+            for k in [k for k in self._chunk_cache
+                      if isinstance(k[0], int) and k[1] != do_updates]:
+                del self._chunk_cache[k]
+            import gc
+            gc.collect()
             self._chunk_cache[key] = self._chunk_fn(length, do_updates)
         return self._chunk_cache[key](astate, states, rstate, obs, rng)
 
@@ -92,7 +112,7 @@ class FusedTrainer:
 
         key = ("rand", length)
         if key not in self._chunk_cache:
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def chunk(states, rstate, obs, rng):
                 (states, rstate, obs, rng), rewards = jax.lax.scan(
                     body, (states, rstate, obs, rng), None, length=length)
@@ -108,7 +128,8 @@ class FusedTrainer:
 
         key = ("catchup", num_updates)
         if key not in self._chunk_cache:
-            @jax.jit
+            # donate the agent state only — the ring stays live in the caller
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def burst(astate, rstate):
                 def body(a, _):
                     a, m = agent._update(a, rstate, buffer)

@@ -218,7 +218,10 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     states, obs = venv.reset(k_env)
     states, obs = shard_env(states), shard_env(obs)
     rstate = shard_env(jax.jit(buffer.add_reset)(rstate, obs))
-    add_reset_fn = jax.jit(buffer.add_reset)
+    # donate the ring: add_reset at every episode boundary would otherwise
+    # hold input AND output copies of the replay ring (the HBM-dominant
+    # buffer) while it runs
+    add_reset_fn = jax.jit(buffer.add_reset, donate_argnums=(0,))
 
     from sgqn_carla_tpu.train.fused import FusedTrainer
 
@@ -290,6 +293,14 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                     # no updates, until the ring holds init_steps fresh steps.
                     rewarm_until = step + max(cfg.init_steps, 0)
                 print(f"Resumed from {resume_dir} at step {step}")
+
+    # The fused chunk DONATES astate and rstate; the TPU runtime rejects a
+    # donation set where one device buffer appears twice (measured:
+    # INVALID_ARGUMENT on the first donated call). init/restore paths can
+    # legitimately produce value-equal leaves (params ↔ targets, SODA EMA)
+    # — one eager deep copy guarantees every donated leaf owns its buffer.
+    astate = jax.tree_util.tree_map(jnp.copy, astate)
+    rstate = jax.tree_util.tree_map(jnp.copy, rstate)
 
     while step < total_steps:
         # ---- one fused episode chunk: act → env → replay [→ update] × T

@@ -58,6 +58,131 @@ def _mk(algo, **kw):
     return agent, state, buf, rstate
 
 
+class TestPackedTrunk:
+    """nets.trunk_packed_apply: grouped-conv packing of g trunk forwards
+    must be numerically equivalent to g separate Trunk.apply calls, with
+    tied-group param cotangents summing (docs/PERF.md learner notes)."""
+
+    def test_forward_matches_separate(self):
+        from sgqn_carla_tpu.agents import nets
+        trunk = nets.Trunk(num_shared_layers=4, num_head_layers=1,
+                           num_filters=8)
+        x1 = jax.random.uniform(jax.random.PRNGKey(2), (2, 9, 84, 84)) * 255
+        x2 = jax.random.uniform(jax.random.PRNGKey(3), (2, 9, 84, 84)) * 255
+        p1 = trunk.init(jax.random.PRNGKey(0), x1)["params"]
+        p2 = trunk.init(jax.random.PRNGKey(1), x1)["params"]
+        f1, f2, f3 = nets.trunk_packed_apply(
+            [p1, p2, p1], [x1, x2, x2], num_shared_layers=4,
+            num_head_layers=1)
+        for f, p, x in ((f1, p1, x1), (f2, p2, x2), (f3, p1, x2)):
+            ref = trunk.apply({"params": p}, x)
+            np.testing.assert_allclose(np.asarray(f), np.asarray(ref),
+                                       atol=1e-5)
+
+    def test_tied_group_grads_sum(self):
+        from sgqn_carla_tpu.agents import nets
+        trunk = nets.Trunk(num_shared_layers=3, num_filters=8)
+        x1 = jax.random.uniform(jax.random.PRNGKey(2), (2, 9, 84, 84)) * 255
+        x2 = jax.random.uniform(jax.random.PRNGKey(3), (2, 9, 84, 84)) * 255
+        p = trunk.init(jax.random.PRNGKey(0), x1)["params"]
+
+        def packed(p):
+            a, b = nets.trunk_packed_apply([p, p], [x1, x2], 3, 0)
+            return jnp.sum(a ** 2) + jnp.sum(jnp.sin(b))
+
+        def separate(p):
+            a = trunk.apply({"params": p}, x1)
+            b = trunk.apply({"params": p}, x2)
+            return jnp.sum(a ** 2) + jnp.sum(jnp.sin(b))
+
+        gp = jax.tree_util.tree_leaves(jax.grad(packed)(p))
+        gs = jax.tree_util.tree_leaves(jax.grad(separate)(p))
+        for a, b in zip(gp, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestPackedEquivalence:
+    """The packed update (SGQN_PACKED=1, default) must match the separate-
+    forward formulation: identical attribution masks and critic targets,
+    and a critic step that lands on the same parameters."""
+
+    def _pair(self, algo, monkeypatch, **kw):
+        kw.setdefault("precision", "f32")
+        monkeypatch.setenv("SGQN_PACKED", "0")
+        a0, s0, buf, rs = _mk(algo, **kw)
+        monkeypatch.setenv("SGQN_PACKED", "1")
+        a1, s1, _, _ = _mk(algo, **kw)
+        return a0, s0, a1, s1, buf, rs
+
+    @pytest.mark.parametrize("algo", ["sac", "svea", "sgsac"])
+    def test_critic_step_matches(self, algo, monkeypatch):
+        kw = (dict(num_shared_layers=11, num_filters=8)
+              if algo == "sgsac" else {})
+        a0, s0, a1, s1, buf, rs = self._pair(algo, monkeypatch, **kw)
+        n0, m0 = a0.update(s0, rs, buf)
+        n1, m1 = a1.update(s1, rs, buf)
+        np.testing.assert_allclose(float(m0["critic_loss"]),
+                                   float(m1["critic_loss"]), rtol=1e-4)
+        for g0, g1 in zip(jax.tree_util.tree_leaves(n0.params["critic"]),
+                          jax.tree_util.tree_leaves(n1.params["critic"])):
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                       rtol=1e-3, atol=1e-5)
+        for g0, g1 in zip(jax.tree_util.tree_leaves(n0.params["trunk"]),
+                          jax.tree_util.tree_leaves(n1.params["trunk"])):
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_sgsac_aux_fold(self, monkeypatch):
+        """SGQN_AUX_FOLD=1: the folded critic+aux pass must (a) leave the
+        critic step identical to the unfolded packed path (the BCE term has
+        no cotangent into the critic's param leaves), (b) train the decoder
+        on fired steps, (c) skip aux on the off-steps."""
+        kw = dict(num_shared_layers=11, num_filters=8, precision="f32")
+        monkeypatch.setenv("SGQN_PACKED", "1")
+        a0, s0, buf, rs = _mk("sgsac", **kw)
+        monkeypatch.setenv("SGQN_AUX_FOLD", "1")
+        a1, s1, _, _ = _mk("sgsac", **kw)
+        n0, m0 = a0.update(s0, rs, buf)
+        n1, m1 = a1.update(s1, rs, buf)
+        assert np.isfinite(float(m1["aux_loss"])) and float(m1["aux_loss"]) > 0
+        # Q heads see ONLY the critic optimizer — must match tightly; the
+        # projection/trunk also take the aux-Adam step, whose first-step
+        # update is ±lr·sign(grad) and the folded pass evaluates that grad
+        # one critic-Adam-step earlier → sign flips near zero are expected,
+        # bounded by 2×aux_lr per element
+        for k in ("Q1", "Q2"):
+            for g0, g1 in zip(
+                    jax.tree_util.tree_leaves(n0.params["critic"][k]),
+                    jax.tree_util.tree_leaves(n1.params["critic"][k])):
+                np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                           rtol=1e-3, atol=1e-5)
+        aux_lr = a1.cfg.aux_lr
+        for g0, g1 in zip(jax.tree_util.tree_leaves(n0.params["trunk"]),
+                          jax.tree_util.tree_leaves(n1.params["trunk"])):
+            assert float(jnp.max(jnp.abs(g0 - g1))) <= 2 * aux_lr + 1e-5
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            s1.aux_params["decoder"], n1.aux_params["decoder"])
+        assert max(jax.tree_util.tree_leaves(moved)) > 0, "decoder frozen"
+        n2, m2 = a1.update(n1, rs, buf)   # step 1: aux does not fire
+        assert float(m2["aux_loss"]) == 0
+
+    def test_sgsac_mask_and_targets_match(self, monkeypatch):
+        a0, s0, a1, s1, buf, rs = self._pair(
+            "sgsac", monkeypatch, num_shared_layers=11, num_filters=8)
+        key = jax.random.PRNGKey(7)
+        batch = a0.sample_batch(buf, rs, key)
+        ctx0 = a0.update_context(s0, batch, key)
+        ctx1 = a1.update_context(s1, batch, key)
+        np.testing.assert_array_equal(np.asarray(ctx0["mask"]),
+                                      np.asarray(ctx1["mask"]))
+        t0 = a0.critic_target_values(s0, batch, key, ctx0)
+        t1 = a1.critic_target_values(s1, batch, key, ctx1)
+        np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestActions:
     def test_select_deterministic(self):
         agent, state, _, _ = _mk("sac")
