@@ -82,15 +82,21 @@ class FusedTrainer:
                   rstate, obs, rng):
         key = (length, do_updates, self.updates_per_step)
         if key not in self._chunk_cache:
-            # mode switch (train ↔ rewarm after a guard rollback): drop the
-            # other mode's executable before compiling this one — the two
-            # full-scale programs need not stay resident together, and the
-            # persistent compile cache makes the switch back cheap
-            for k in [k for k in self._chunk_cache
-                      if isinstance(k[0], int) and k[1] != do_updates]:
-                del self._chunk_cache[k]
-            import gc
-            gc.collect()
+            # mode switch (rewarm → train after a guard rollback): drop the
+            # rewarm executables before compiling the full-scale training
+            # chunk — that compile is the one that measured
+            # RESOURCE_EXHAUSTED next to a resident sibling (flag_r3b
+            # attempt 1). The cheaper rewarm program compiles fine NEXT TO
+            # the resident training executable (its carry is donated), so
+            # the train → rewarm direction keeps both and the switch back
+            # pays no reload (round-3 advisor note).
+            evict = [k for k in self._chunk_cache
+                     if isinstance(k[0], int) and k[1] != do_updates]
+            if do_updates and evict:
+                for k in evict:
+                    del self._chunk_cache[k]
+                import gc
+                gc.collect()
             self._chunk_cache[key] = self._chunk_fn(length, do_updates)
         return self._chunk_cache[key](astate, states, rstate, obs, rng)
 
