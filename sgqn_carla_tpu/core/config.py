@@ -137,8 +137,11 @@ class Config:
     # Empty → procedural pools; "auto" → first existing path listed in
     # setup/config.cfg's "datasets".
     external_data_dir: str = ""
-    # procedural overlay-pool frequency band: "narrow" (single-octave
-    # ±3·2π — every committed generalization result) or "wide" (two
+    # procedural overlay-pool band: "narrow" (single-octave ±3·2π — every
+    # committed pre-round-4 generalization result), "palette" (narrow
+    # field recentred on a per-image random dominant color — the Places365
+    # palette-diversity property; fixes the video_hard camouflage failure
+    # mode, data/overlay.py) or "wide" (two
     # octaves to ±5·2π covering the video_hard test band — measured
     # NEGATIVE as a default: runs/flag_r2b train 690 vs 896, see
     # data/overlay.py:synth_images)

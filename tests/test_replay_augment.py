@@ -245,6 +245,23 @@ class TestAugment:
         assert wide.shape == narrow.shape
         assert wide.min() >= 0.0 and wide.max() <= 1.0
 
+    def test_overlay_band_palette_dominant_colors(self):
+        # palette band: per-image dominant color must span the gamut
+        # (narrow/wide always average ≈0.5 gray — which is exactly why
+        # robot-colored video_hard clips camouflage the agent, see
+        # data/overlay.py docstring). Mean per-image color spread must be
+        # several times the narrow pool's.
+        narrow = get_overlay_pool(84, 84, seed=0, num=32, band="narrow")
+        pal = get_overlay_pool(84, 84, seed=0, num=32, band="palette")
+        assert pal.shape == narrow.shape
+        assert pal.min() >= 0.0 and pal.max() <= 1.0
+        n_means = narrow.mean(axis=(2, 3))  # (N, 3) dominant colors
+        p_means = pal.mean(axis=(2, 3))
+        assert p_means.std(axis=0).mean() > 2.0 * n_means.std(axis=0).mean()
+        # the pool covers warm body-like tones (r >> b) AND cool tones
+        assert ((p_means[:, 0] - p_means[:, 2]) > 0.2).any()
+        assert ((p_means[:, 2] - p_means[:, 0]) > 0.2).any()
+
     def test_attribution_augmentation_keeps_salient(self):
         pool = jnp.asarray(get_overlay_pool(84, 84, seed=0, num=8))
         imgs = jnp.full((2, 9, 84, 84), 200, jnp.float32)
