@@ -77,10 +77,16 @@ class SAC:
                          else jnp.float32)
         self._compute_dtype = compute_dtype
         # Grouped-conv packing of co-occurring trunk traversals
-        # (nets.trunk_packed_apply): numerically equivalent, ~1.2-1.4× ONE
-        # traversal instead of g× (docs/PERF.md learner notes). SGQN_PACKED=0
-        # restores the separate-forward formulation for A/Bs.
-        self._packed = os.environ.get("SGQN_PACKED", "1") == "1"
+        # (nets.trunk_packed_apply): numerically equivalent, and ~1.2-1.4×
+        # ONE traversal in the conv microbenchmark — but a measured NET
+        # LOSS in the fused update on the chip (round-4 A/B, 3 reps:
+        # sgsac 8.70 ms packed vs 6.36 ms separate at b128; XLA's CSE and
+        # fusion do more for the separate forwards than grouping saves —
+        # exactly docs/PERF.md's microbench-transfer caveat). Default OFF;
+        # SGQN_PACKED=1 opts the packed formulation back in. The separate
+        # path also restores the reference's actor-update encoder
+        # recompute ordering (PARITY.md deviations note).
+        self._packed = os.environ.get("SGQN_PACKED", "0") == "1"
         self.trunk_def = nets.Trunk(cfg.num_shared_layers, cfg.num_head_layers,
                                     cfg.num_filters, dtype=compute_dtype)
         self.actor_def = nets.ActorHead(

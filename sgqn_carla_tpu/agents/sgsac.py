@@ -52,6 +52,7 @@ class SGSAC(SAC):
         # staleness class as the shared update_context mask). Off by
         # default until the A/B validates speed AND learning curves.
         self._fold_aux = os.environ.get("SGQN_AUX_FOLD", "0") == "1"
+        self._fill_mode = getattr(self.cfg, "consistency_fill", "scalar")
         # trunk output spatial dim: (84-3)//2+1 = 41, minus 2 per s1 conv
         spatial = 41 - 2 * (self.cfg.num_shared_layers - 1
                             + self.cfg.num_head_layers)
@@ -97,6 +98,30 @@ class SGSAC(SAC):
             method=nets.CriticHead.encode)
         return self.decoder_def.apply({"params": full_params["decoder"]}, z,
                                       action)
+
+    def _fill(self, rng, obs):
+        """Background fill for the masked-obs consistency view.
+
+        "scalar" (default, reference parity): one uniform scalar in
+        [obs.min, obs.max] — r=g=b, every fill is GRAY (reference
+        sgsac.py:67-70 random.uniform on scalars). "color": a per-sample
+        random RGB color, tiled over the frame stack — measured round 4:
+        with the scalar fill the trunk never sees the robot on a COLORED
+        background, and video_hard clips whose dominant color matches the
+        walker's body collapse the policy to ~50 while the robot is
+        plainly visible in the frame (representation failure, not
+        information loss; even all-palette overlay training does not fix
+        it — runs/flag_r4pal eval arrays: warm-clip episodes 50.7 vs
+        344.8 non-warm). The colored fill covers exactly that axis at
+        zero extra traversals."""
+        if self._fill_mode == "color":
+            b = obs.shape[0]
+            frames = obs.shape[1] // 3
+            col = jax.random.uniform(rng, (b, 3), jnp.float32,
+                                     jnp.min(obs), jnp.max(obs))
+            return jnp.tile(col, (1, frames))[..., None, None]
+        return jax.random.uniform(rng, (), jnp.float32,
+                                  jnp.min(obs), jnp.max(obs))
 
     # ---------------------------------------------------------------- critic
     def update_context(self, state, batch: Batch, rng):
@@ -150,11 +175,7 @@ class SGSAC(SAC):
             return loss, {"critic_loss": loss,
                           **self._critic_diag(q1, q2, batch)}
         mask = ctx["mask"]
-        # single uniform fill value in [obs.min(), obs.max()]
-        # (reference: sgsac.py:67-70 random.uniform on scalars)
-        fill = jax.random.uniform(rng, (), jnp.float32,
-                                  jnp.min(obs), jnp.max(obs))
-        masked_obs = jnp.where(mask, obs, fill)
+        masked_obs = jnp.where(mask, obs, self._fill(rng, obs))
         if self._packed:
             # packed pass 2 (g=2): obs + masked-obs through the online trunk
             # as one grouped conv fwd+bwd; the tied kernel concat makes the
@@ -213,9 +234,7 @@ class SGSAC(SAC):
                     "critic": state.params["critic"]}
         obs = batch.obs.astype(jnp.float32)
         mask = ctx["mask"]
-        fill = jax.random.uniform(k_l, (), jnp.float32,
-                                  jnp.min(obs), jnp.max(obs))
-        masked_obs = jnp.where(mask, obs, fill)
+        masked_obs = jnp.where(mask, obs, self._fill(k_l, obs))
         b = obs.shape[0]
 
         def critic_only(state):

@@ -117,6 +117,12 @@ class Config:
     svea_norm_coeff: float = 0.1
     attrib_coeff: float = 0.25
     consistency: int = 1
+    # masked-obs consistency fill: "scalar" (reference parity — one gray
+    # level, sgsac.py:67-70) or "color" (per-sample random RGB — covers
+    # robot-on-colored-background scenes the scalar fill never shows the
+    # trunk; the measured video_hard camouflage failure axis, see
+    # agents/sgsac.py::_fill)
+    consistency_fill: str = "scalar"
     alpha_blending: float = 0.2
 
     # eval
@@ -141,7 +147,9 @@ class Config:
     # committed pre-round-4 generalization result), "palette" (narrow
     # field recentred on a per-image random dominant color — the Places365
     # palette-diversity property; fixes the video_hard camouflage failure
-    # mode, data/overlay.py) or "wide" (two
+    # mode, data/overlay.py), "mix" (p=0.5 narrow/palette per image — the
+    # production compromise: palette alone drags clean-task learning,
+    # runs/flag_r4pal) or "wide" (two
     # octaves to ±5·2π covering the video_hard test band — measured
     # NEGATIVE as a default: runs/flag_r2b train 690 vs 896, see
     # data/overlay.py:synth_images)

@@ -43,7 +43,13 @@ def synth_images(num: int, height: int = 84, width: int = 84,
     Places365 photographs whose dominant colors span everything including
     skin/salmon tones (src/augmentations.py:17-62) — per-image palette
     diversity restores that property of the real data; it does not read
-    the test pool."""
+    the test pool.
+
+    band="mix" draws each image from the narrow or the palette recipe
+    with p=0.5: measured (runs/flag_r4pal, round 4) the all-palette pool
+    drags clean-task learning the way wide did (train roll-20 ~590 @125k
+    vs narrow's ~895) — half the pool keeps the gray-based images the
+    encoder learns fastest on, the other half covers dominant colors."""
     rng = np.random.RandomState(seed)
     out = np.zeros((num, 3, height, width), np.float32)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -52,7 +58,8 @@ def synth_images(num: int, height: int = 84, width: int = 84,
     wide = band == "wide"
     for i in range(num):
         img = np.zeros((height, width, 3), np.float32)
-        if band == "palette":
+        pal = band == "palette" or (band == "mix" and rng.rand() < 0.5)
+        if pal:
             # narrow-band field recentred on a random dominant color; the
             # amplitude drops so the field stays in-gamut around the base
             base_c = rng.uniform(0.05, 0.95, 3)

@@ -223,6 +223,32 @@ def test_update_runs_and_is_finite(algo):
     assert max(jax.tree_util.tree_leaves(moved)) > 0, f"{algo}: trunk frozen"
 
 
+def test_sgsac_consistency_fill_color():
+    """--consistency_fill color: per-sample RGB fill (tiled over the frame
+    stack) replaces the reference's gray scalar; the update stays finite
+    and the default path is untouched (agents/sgsac.py::_fill)."""
+    agent, state, buf, rstate = _mk("sgsac", num_shared_layers=11,
+                                    num_filters=8,
+                                    consistency_fill="color")
+    obs = jnp.arange(2 * 9 * 4 * 4, dtype=jnp.float32).reshape(2, 9, 4, 4)
+    f = agent._fill(jax.random.PRNGKey(0), obs)
+    assert f.shape == (2, 9, 1, 1)
+    fn = np.asarray(f)[:, :, 0, 0]
+    # per-frame color: channels repeat across the 3 stacked frames
+    assert np.allclose(fn[:, :3], fn[:, 3:6]) and np.allclose(
+        fn[:, :3], fn[:, 6:9])
+    assert (fn >= float(obs.min())).all() and (fn <= float(obs.max())).all()
+    # colored, not gray: channels differ within a sample
+    assert (np.abs(fn[:, 0] - fn[:, 1]) > 1e-3).any()
+    _, metrics = agent.update(state, rstate, buf)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # default stays the reference scalar
+    agent2, *_ = _mk("sgsac", num_shared_layers=11, num_filters=8)
+    f2 = agent2._fill(jax.random.PRNGKey(0), obs)
+    assert f2.shape == ()
+
+
 def test_target_updates_lag_params():
     agent, state, buf, rstate = _mk("sac")
     for _ in range(4):

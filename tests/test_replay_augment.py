@@ -261,6 +261,12 @@ class TestAugment:
         # the pool covers warm body-like tones (r >> b) AND cool tones
         assert ((p_means[:, 0] - p_means[:, 2]) > 0.2).any()
         assert ((p_means[:, 2] - p_means[:, 0]) > 0.2).any()
+        # mix: half gray-based (clean-task learning speed), half palette
+        mix = get_overlay_pool(84, 84, seed=0, num=32, band="mix")
+        m_means = mix.mean(axis=(2, 3))
+        gray = (np.abs(m_means - 0.5) < 0.12).all(axis=1).sum()
+        assert 8 <= gray <= 24  # p=0.5 split, loose binomial bounds
+        assert m_means.std(axis=0).mean() > 1.5 * n_means.std(axis=0).mean()
 
     def test_attribution_augmentation_keeps_salient(self):
         pool = jnp.asarray(get_overlay_pool(84, 84, seed=0, num=8))
