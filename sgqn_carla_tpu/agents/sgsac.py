@@ -43,15 +43,11 @@ class SGSAC(SAC):
         import os
         self._concat_consistency = (
             os.environ.get("SGQN_SGSAC_CONCAT", "0") == "1")
-        # Fold the aux BCE step into the packed critic pass on the updates
-        # where it fires (g=3: obs / masked / s_tilde in ONE grouped conv
-        # fwd+bwd; per-group kernels keep the critic and aux cotangents
-        # separate). Saves the aux step's standalone trunk fwd+bwd at the
-        # cost of evaluating the aux loss with the params one critic-Adam-
-        # step earlier than the sequential reference ordering (same
-        # staleness class as the shared update_context mask). Off by
-        # default until the A/B validates speed AND learning curves.
-        self._fold_aux = os.environ.get("SGQN_AUX_FOLD", "0") == "1"
+        # (round 4: the SGQN_AUX_FOLD packed-fold variant was removed after
+        # the on-chip A/B measured it at parity with the plain packed path
+        # — 8.70 ms either way — while the packed path itself lost to the
+        # separate forwards; no fold can recover a formulation that is
+        # slower before folding. docs/PERF.md learner table.)
         self._fill_mode = getattr(self.cfg, "consistency_fill", "scalar")
         # trunk output spatial dim: (84-3)//2+1 = 41, minus 2 per s1 conv
         spatial = 41 - 2 * (self.cfg.num_shared_layers - 1
@@ -219,98 +215,9 @@ class SGSAC(SAC):
                              + jnp.mean((q2 - mq2) ** 2))
         return loss, {"critic_loss": loss, **self._critic_diag(q1, q2, batch)}
 
-    # -------------------------------------------------- folded critic + aux
-    def update_critic(self, state: AgentState, batch: Batch, rng, ctx=None):
-        if not (self._fold_aux and self._packed and self.consistency
-                and ctx is not None):
-            return super().update_critic(state, batch, rng, ctx)
-        # split exactly like the base update_critic so k_t/k_l (targets,
-        # mask fill) match the unfolded path bit-for-bit; the overlay key
-        # is derived separately
-        k_t, k_l = jax.random.split(rng)
-        k_o = jax.random.fold_in(k_l, 1)
-        target_q = self.critic_target_values(state, batch, k_t, ctx)
-        c_params = {"trunk": state.params["trunk"],
-                    "critic": state.params["critic"]}
-        obs = batch.obs.astype(jnp.float32)
-        mask = ctx["mask"]
-        masked_obs = jnp.where(mask, obs, self._fill(k_l, obs))
-        b = obs.shape[0]
-
-        def critic_only(state):
-            (loss, metrics), grads = jax.value_and_grad(
-                self.critic_loss_fn, has_aux=True)(
-                    c_params, state, batch, target_q, k_l, ctx)
-            state, metrics = self._apply_critic_grads(state, c_params, loss,
-                                                      grads, metrics)
-            return state, {**metrics, "aux_loss": jnp.float32(0)}
-
-        def critic_and_aux(state):
-            aux_full = self._aux_tree(state.params, state.aux_params)
-            s_tilde = jax.lax.stop_gradient(augment.random_overlay(
-                k_o, obs, self.overlay_pool, self.cfg.alpha_blending))
-            target_mask = jax.lax.stop_gradient(mask.astype(jnp.float32))
-
-            def joint(cp, fp):
-                # g=3 pack: critic groups tied on cp["trunk"], the aux
-                # group on its own fp["trunk"] leaf (same values) so the
-                # two optimizers' cotangents separate automatically
-                f_obs, f_m, f_st = self._packed_trunk(
-                    [cp["trunk"], cp["trunk"], fp["trunk"]],
-                    [obs, masked_obs, s_tilde])
-                fc = jnp.concatenate([f_obs, f_m], axis=0)
-                bq1, bq2 = self.critic_def.apply(
-                    {"params": cp["critic"]}, fc,
-                    jnp.concatenate([batch.action] * 2, 0))
-                q1, mq1 = bq1[:b], bq1[b:]
-                q2, mq2 = bq2[:b], bq2[b:]
-                c_loss = (jnp.mean((q1 - target_q) ** 2)
-                          + jnp.mean((q2 - target_q) ** 2))
-                c_loss = c_loss + 0.5 * (jnp.mean((q1 - mq1) ** 2)
-                                         + jnp.mean((q2 - mq2) ** 2))
-                z = self.critic_def.apply(
-                    {"params": {"projection": fp["projection"]}}, f_st,
-                    method=nets.CriticHead.encode)
-                logits = self.decoder_def.apply({"params": fp["decoder"]}, z,
-                                                batch.action)
-                bce = jnp.mean(optax.sigmoid_binary_cross_entropy(
-                    logits, target_mask))
-                metrics = {"critic_loss": c_loss,
-                           "_obs_feats": jax.lax.stop_gradient(f_obs),
-                           **self._critic_diag(q1, q2, batch)}
-                return c_loss + bce, (c_loss, metrics, bce)
-
-            (_, (c_loss, metrics, bce)), (g_c, g_aux) = jax.value_and_grad(
-                joint, argnums=(0, 1), has_aux=True)(c_params, aux_full)
-            state, metrics = self._apply_critic_grads(state, c_params, c_loss,
-                                                      g_c, metrics)
-            # aux Adam applies on the post-critic-step params (the
-            # sequential composition of the unfolded ordering); like
-            # update_aux it is NOT gated by the TD-anomaly freeze
-            updates, new_opt = self.aux_tx.update(g_aux, state.aux_opt,
-                                                  aux_full)
-            post = self._aux_tree(state.params, state.aux_params)
-            new = optax.apply_updates(post, updates)
-            params = dict(state.params)
-            params["trunk"] = new["trunk"]
-            critic = dict(params["critic"])
-            critic["projection"] = new["projection"]
-            params["critic"] = critic
-            state = state.replace(params=params,
-                                  aux_params={"decoder": new["decoder"]},
-                                  aux_opt=new_opt)
-            return state, {**metrics, "aux_loss": bce}
-
-        return jax.lax.cond(state.step % self.cfg.aux_update_freq == 0,
-                            critic_and_aux, critic_only, state)
-
     # ------------------------------------------------------------------- aux
     def update_aux(self, state: AgentState, batch: Batch, buffer: ReplayBuffer,
                    rstate: ReplayState, rng, ctx=None):
-        if (self._fold_aux and self._packed and self.consistency
-                and ctx is not None):
-            # already applied inside the folded critic pass
-            return state, {}
 
         def do(state):
             k_m, k_o = jax.random.split(rng)

@@ -133,41 +133,6 @@ class TestPackedEquivalence:
             np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
                                        rtol=1e-3, atol=1e-5)
 
-    def test_sgsac_aux_fold(self, monkeypatch):
-        """SGQN_AUX_FOLD=1: the folded critic+aux pass must (a) leave the
-        critic step identical to the unfolded packed path (the BCE term has
-        no cotangent into the critic's param leaves), (b) train the decoder
-        on fired steps, (c) skip aux on the off-steps."""
-        kw = dict(num_shared_layers=11, num_filters=8, precision="f32")
-        monkeypatch.setenv("SGQN_PACKED", "1")
-        a0, s0, buf, rs = _mk("sgsac", **kw)
-        monkeypatch.setenv("SGQN_AUX_FOLD", "1")
-        a1, s1, _, _ = _mk("sgsac", **kw)
-        n0, m0 = a0.update(s0, rs, buf)
-        n1, m1 = a1.update(s1, rs, buf)
-        assert np.isfinite(float(m1["aux_loss"])) and float(m1["aux_loss"]) > 0
-        # Q heads see ONLY the critic optimizer — must match tightly; the
-        # projection/trunk also take the aux-Adam step, whose first-step
-        # update is ±lr·sign(grad) and the folded pass evaluates that grad
-        # one critic-Adam-step earlier → sign flips near zero are expected,
-        # bounded by 2×aux_lr per element
-        for k in ("Q1", "Q2"):
-            for g0, g1 in zip(
-                    jax.tree_util.tree_leaves(n0.params["critic"][k]),
-                    jax.tree_util.tree_leaves(n1.params["critic"][k])):
-                np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
-                                           rtol=1e-3, atol=1e-5)
-        aux_lr = a1.cfg.aux_lr
-        for g0, g1 in zip(jax.tree_util.tree_leaves(n0.params["trunk"]),
-                          jax.tree_util.tree_leaves(n1.params["trunk"])):
-            assert float(jnp.max(jnp.abs(g0 - g1))) <= 2 * aux_lr + 1e-5
-        moved = jax.tree_util.tree_map(
-            lambda a, b: float(jnp.max(jnp.abs(a - b))),
-            s1.aux_params["decoder"], n1.aux_params["decoder"])
-        assert max(jax.tree_util.tree_leaves(moved)) > 0, "decoder frozen"
-        n2, m2 = a1.update(n1, rs, buf)   # step 1: aux does not fire
-        assert float(m2["aux_loss"]) == 0
-
     def test_sgsac_mask_and_targets_match(self, monkeypatch):
         a0, s0, a1, s1, buf, rs = self._pair(
             "sgsac", monkeypatch, num_shared_layers=11, num_filters=8)
