@@ -112,8 +112,15 @@ def main():
                       "action_dim": A, "steps": steps, "seed": seed}))
 
     actor_def, critic_def = Actor(A), Critic()
-    tx = optax.adam(LR)
+    # grad-norm clip: the hopper run diverged to NaN at ~27.75k steps with
+    # plain adam (critic_loss ramp 17→19→NaN while roll-20 was ~268 and
+    # climbing — round-4 rerun of the round-3 queue); standard SAC rails
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(LR))
     target_entropy = -float(A)
+    # frame-skip-aware return bound: one transition spans ACTION_REPEAT
+    # control steps → r_max = ACTION_REPEAT → bound r_max/(1−γ), with 10%
+    # slack so the clip is a divergence rail, not a learning cap
+    q_bound = 1.1 * ACTION_REPEAT / (1.0 - DISCOUNT)
 
     def env_step(phys, action):
         def body(p, _):
@@ -149,7 +156,8 @@ def main():
         tq1, tq2 = critic_def.apply({"params": s.target}, nxt, pi_n)
         alpha = jnp.exp(s.log_alpha)
         tv = jnp.minimum(tq1, tq2) - alpha * logp_n
-        target_q = jax.lax.stop_gradient(rew + DISCOUNT * tv)
+        target_q = jax.lax.stop_gradient(
+            jnp.clip(rew + DISCOUNT * tv, -q_bound, q_bound))
 
         def c_loss(cp):
             q1, q2 = critic_def.apply({"params": cp}, obs, act)
