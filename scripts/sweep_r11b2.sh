@@ -21,8 +21,8 @@ set -x
 set -o pipefail
 cd /root/repo
 
-FLAG="--algorithm sgsac --domain_name walker --task_name walk --seed 1 --log_dir runs/flag_r4mix --overlay_band mix --consistency_fill color"
-WD=runs/flag_r4mix/walker_walk/sgsac/1
+FLAG="--algorithm sgsac --domain_name walker --task_name walk --seed 1 --log_dir runs/flag_r4mix2 --overlay_band mix --consistency_fill color"
+WD=runs/flag_r4mix2/walker_walk/sgsac/1
 
 # 1. The run itself, wedge-watchdogged (auto kill + resume on stall).
 python scripts/watchdog.py --watch "$WD" --stall-sec 420 --grace-sec 1800 \

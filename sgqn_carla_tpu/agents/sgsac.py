@@ -49,6 +49,7 @@ class SGSAC(SAC):
         # separate forwards; no fold can recover a formulation that is
         # slower before folding. docs/PERF.md learner table.)
         self._fill_mode = getattr(self.cfg, "consistency_fill", "scalar")
+        self._fill_p = float(getattr(self.cfg, "consistency_fill_p", 0.25))
         # trunk output spatial dim: (84-3)//2+1 = 41, minus 2 per s1 conv
         spatial = 41 - 2 * (self.cfg.num_shared_layers - 1
                             + self.cfg.num_head_layers)
@@ -113,9 +114,23 @@ class SGSAC(SAC):
         if self._fill_mode == "color":
             b = obs.shape[0]
             frames = obs.shape[1] // 3
-            col = jax.random.uniform(rng, (b, 3), jnp.float32,
+            k_c, k_s, k_b = jax.random.split(rng, 3)
+            col = jax.random.uniform(k_c, (b, 3), jnp.float32,
                                      jnp.min(obs), jnp.max(obs))
-            return jnp.tile(col, (1, frames))[..., None, None]
+            col = jnp.tile(col, (1, frames))[..., None, None]
+            # dose: per-sample Bernoulli(p) colored fill, else the easy
+            # scalar fill. Full-strength colored fill (p=1) measured DEAD
+            # (runs flag_r4mix attempt 1: walker roll-20 flat ~55 through
+            # 58k updates vs ~420 @25k with the scalar fill) — the
+            # consistency target Q(obs)=Q(robot-on-saturated-color) from
+            # update 1 swamps TD learning before the critic knows
+            # anything. A p-dose keeps most of the batch on the easy
+            # invariance while still covering the camouflage axis.
+            p = self._fill_p
+            scalar = jax.random.uniform(k_s, (), jnp.float32,
+                                        jnp.min(obs), jnp.max(obs))
+            use = (jax.random.uniform(k_b, (b, 1, 1, 1)) < p)
+            return jnp.where(use, col, scalar)
         return jax.random.uniform(rng, (), jnp.float32,
                                   jnp.min(obs), jnp.max(obs))
 

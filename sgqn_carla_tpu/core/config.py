@@ -123,6 +123,9 @@ class Config:
     # trunk; the measured video_hard camouflage failure axis, see
     # agents/sgsac.py::_fill)
     consistency_fill: str = "scalar"
+    consistency_fill_p: float = 0.25  # colored-fill dose per sample when
+                                 # consistency_fill="color"; p=1 measured
+                                 # dead (flag_r4mix attempt 1)
     alpha_blending: float = 0.2
 
     # eval

@@ -194,7 +194,8 @@ def test_sgsac_consistency_fill_color():
     and the default path is untouched (agents/sgsac.py::_fill)."""
     agent, state, buf, rstate = _mk("sgsac", num_shared_layers=11,
                                     num_filters=8,
-                                    consistency_fill="color")
+                                    consistency_fill="color",
+                                    consistency_fill_p=1.0)
     obs = jnp.arange(2 * 9 * 4 * 4, dtype=jnp.float32).reshape(2, 9, 4, 4)
     f = agent._fill(jax.random.PRNGKey(0), obs)
     assert f.shape == (2, 9, 1, 1)
@@ -205,6 +206,11 @@ def test_sgsac_consistency_fill_color():
     assert (fn >= float(obs.min())).all() and (fn <= float(obs.max())).all()
     # colored, not gray: channels differ within a sample
     assert (np.abs(fn[:, 0] - fn[:, 1]) > 1e-3).any()
+    # dose p=0 must reduce every sample to one scalar (the easy fill)
+    agent0, *_ = _mk("sgsac", num_shared_layers=11, num_filters=8,
+                     consistency_fill="color", consistency_fill_p=0.0)
+    f0 = np.asarray(agent0._fill(jax.random.PRNGKey(0), obs))
+    assert np.unique(f0).size == 1
     _, metrics = agent.update(state, rstate, buf)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
