@@ -50,6 +50,8 @@ class SGSAC(SAC):
         # slower before folding. docs/PERF.md learner table.)
         self._fill_mode = getattr(self.cfg, "consistency_fill", "scalar")
         self._fill_p = float(getattr(self.cfg, "consistency_fill_p", 0.25))
+        self._fill_warmup = int(getattr(self.cfg,
+                                        "consistency_fill_warmup", 0))
         # trunk output spatial dim: (84-3)//2+1 = 41, minus 2 per s1 conv
         spatial = 41 - 2 * (self.cfg.num_shared_layers - 1
                             + self.cfg.num_head_layers)
@@ -96,7 +98,7 @@ class SGSAC(SAC):
         return self.decoder_def.apply({"params": full_params["decoder"]}, z,
                                       action)
 
-    def _fill(self, rng, obs):
+    def _fill(self, rng, obs, step=None):
         """Background fill for the masked-obs consistency view.
 
         "scalar" (default, reference parity): one uniform scalar in
@@ -130,6 +132,14 @@ class SGSAC(SAC):
             scalar = jax.random.uniform(k_s, (), jnp.float32,
                                         jnp.min(obs), jnp.max(obs))
             use = (jax.random.uniform(k_b, (b, 1, 1, 1)) < p)
+            # curriculum: colored fill only once the critic has stabilized
+            # — measured: a colored dose from update 1 stalls walker at
+            # roll-20 ~55-80 even at p=0.25 (flag_r4mix attempts 1-2); the
+            # from-scratch critic cannot absorb the colored invariance and
+            # the TD signal at once. Before `consistency_fill_warmup`
+            # updates the fill reduces to the reference scalar exactly.
+            if step is not None and self._fill_warmup > 0:
+                use = use & (step >= self._fill_warmup)
             return jnp.where(use, col, scalar)
         return jax.random.uniform(rng, (), jnp.float32,
                                   jnp.min(obs), jnp.max(obs))
@@ -186,7 +196,7 @@ class SGSAC(SAC):
             return loss, {"critic_loss": loss,
                           **self._critic_diag(q1, q2, batch)}
         mask = ctx["mask"]
-        masked_obs = jnp.where(mask, obs, self._fill(rng, obs))
+        masked_obs = jnp.where(mask, obs, self._fill(rng, obs, state.step))
         if self._packed:
             # packed pass 2 (g=2): obs + masked-obs through the online trunk
             # as one grouped conv fwd+bwd; the tied kernel concat makes the

@@ -126,6 +126,10 @@ class Config:
     consistency_fill_p: float = 0.25  # colored-fill dose per sample when
                                  # consistency_fill="color"; p=1 measured
                                  # dead (flag_r4mix attempt 1)
+    consistency_fill_warmup: int = 0  # updates before the colored dose
+                                 # activates (curriculum; any colored dose
+                                 # from update 1 stalls learning —
+                                 # flag_r4mix attempts 1-2)
     alpha_blending: float = 0.2
 
     # eval

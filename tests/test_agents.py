@@ -211,6 +211,15 @@ def test_sgsac_consistency_fill_color():
                      consistency_fill="color", consistency_fill_p=0.0)
     f0 = np.asarray(agent0._fill(jax.random.PRNGKey(0), obs))
     assert np.unique(f0).size == 1
+    # warmup curriculum: before `consistency_fill_warmup` updates the
+    # fill is the reference scalar; after, the colored dose activates
+    agw, *_ = _mk("sgsac", num_shared_layers=11, num_filters=8,
+                  consistency_fill="color", consistency_fill_p=1.0,
+                  consistency_fill_warmup=100)
+    pre = np.asarray(agw._fill(jax.random.PRNGKey(0), obs, jnp.int32(5)))
+    post = np.asarray(agw._fill(jax.random.PRNGKey(0), obs, jnp.int32(200)))
+    assert np.unique(pre).size == 1
+    assert np.unique(post).size > 1
     _, metrics = agent.update(state, rstate, buf)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
