@@ -94,8 +94,18 @@ class ProbeState(struct.PyTreeNode):
 
 def flat_obs(task, phys):
     d = task.observe(phys)
-    return jnp.concatenate(
+    o = jnp.concatenate(
         [jnp.ravel(d[k]).astype(jnp.float32) for k in sorted(d)])
+    # sanitize: the hopper probe NaN'd twice (round 4) at ~28-31k steps —
+    # AFTER grad-norm clip + Q-bound rails — i.e. the non-finite enters
+    # through the OBSERVATION under the learned policy's state
+    # distribution (contact-solver blowup at extreme velocities; random-
+    # action rollouts are finite). The pixel path is immune because
+    # rendering saturates to uint8. Clip to a generous bound and zero
+    # non-finites so the probe measures LEARNABILITY, not the tail
+    # numerics of unbounded state readouts.
+    return jnp.clip(jnp.nan_to_num(o, nan=0.0, posinf=50.0, neginf=-50.0),
+                    -50.0, 50.0)
 
 
 def main():
@@ -127,7 +137,10 @@ def main():
             p = task.step(p, action)
             return p, task.reward(p, action)
         phys, rs = jax.lax.scan(body, phys, None, length=ACTION_REPEAT)
-        return phys, jnp.sum(rs)
+        # same sanitization rationale as flat_obs: a blown-up phys state
+        # must not poison the replay ring through the reward channel
+        return phys, jnp.clip(jnp.nan_to_num(jnp.sum(rs)),
+                              0.0, float(ACTION_REPEAT))
 
     def policy(actor, obs, key):
         mu, log_std = actor_def.apply({"params": actor}, obs)

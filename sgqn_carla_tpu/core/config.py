@@ -248,6 +248,14 @@ class Config:
                                  # episodes refresh device slots at each
                                  # fused-chunk boundary (data/spill.py) — no
                                  # per-step host traffic.
+    replay_spill_refresh: int = 2  # host→device episodes uploaded per chunk
+                                 # boundary when replay_spill=host. Default
+                                 # sized for the axon TUNNEL's ~50 MB/s H2D
+                                 # (refresh 8 measured +40% chunk time at
+                                 # num_envs=1; 2 ≈ <10%); on a standard
+                                 # PCIe TPU host the exchange is <1% even
+                                 # at 8 — raise it there for faster
+                                 # working-set mixing.
     replay_device_capacity: int = 100_000  # HBM working-set size (steps) when
                                  # replay_spill=host (docs/PERF.md HBM table:
                                  # 200k fits at 16 envs beside the sgsac

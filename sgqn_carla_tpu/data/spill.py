@@ -28,9 +28,12 @@ per-chunk working-set correlation. The host window itself is FIFO at the
 reference capacity, so the *recency horizon* matches the reference exactly.
 
 Bandwidth: one episode D2H + `refresh` episodes H2D per chunk. A walker
-episode is (T+1)·3·84·84 ≈ 5.3 MB/env; at the default refresh=8 that is
-~45 MB per multi-second chunk — noise against the chunk wall clock even
-through the tunneled chip.
+episode is (T+1)·3·84·84 ≈ 5.3 MB/env. MEASURED (round 4, quiet chip,
+num_envs=1): refresh=8 moves ~45 MB/chunk and costs +0.88 s (+40%)
+through the axon TUNNEL (~50 MB/s effective H2D) — the tunnel, not
+PCIe, is the bound; on a standard TPU host (~16 GB/s) the same exchange
+is <1%. Default refresh=2 (--replay_spill_refresh) sizes the exchange
+for the tunnel; raise it on real hosts for faster working-set mixing.
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ class HostSpill:
     """
 
     def __init__(self, buffer: ReplayBuffer, capacity: int,
-                 refresh: int = 8, seed: int = 0):
+                 refresh: int = 2, seed: int = 0):
         self.buffer = buffer
         E, T, s = buffer.num_envs, buffer.T, buffer.image_size
         self.num_host_episodes = max(

@@ -183,7 +183,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             "exchange would need per-shard transfers under a mesh)")
         from sgqn_carla_tpu.data.spill import HostSpill
         spill = HostSpill(buffer, capacity=cfg.replay_capacity,
-                          seed=cfg.seed)
+                          refresh=cfg.replay_spill_refresh, seed=cfg.seed)
 
     agent = make_agent((3 * cfg.frame_stack, cfg.image_crop_size,
                         cfg.image_crop_size), (env.action_size,), cfg)
