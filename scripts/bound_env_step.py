@@ -110,31 +110,33 @@ def count_step_ops(num_envs: int):
     return total, top
 
 
-def calibrate_vpu(inner: int = 200, size: int = 8 << 20, reps: int = 5):
-    """Achievable elementwise op-units/s: a fused mul-add-select chain."""
+def calibrate_vpu(inner: int = 64, size: int = 4 << 20, reps: int = 5):
+    """Achievable elementwise op-units/s: an UNROLLED fused chain of
+    mul-add-compare-select rounds (5 ops each) on one array — XLA fuses
+    the whole chain into a single kernel, so traffic is one read + one
+    reduce per element and the kernel is ISSUE-bound (arithmetic
+    intensity 5·inner/4 ops/byte). A lax.scan chain is the wrong
+    calibrator here: the loop-carried array round-trips HBM every
+    iteration and measures bandwidth, not issue (first version of this
+    script measured 0.29 T/s that way vs ~2.5 T/s fused)."""
     x = jnp.linspace(0.0, 1.0, size, dtype=jnp.float32)
 
     @jax.jit
     def chain(x, s):
-        def body(c, _):
-            x, s = c
-            y = x * 1.0001 + s          # 2 ops
-            y = jnp.where(y > 0.5, y - 0.25, y)  # compare+select+sub ≈ 3
-            return (y, s + 1e-7), ()
+        y = x + s
+        for _ in range(inner):
+            y = y * 1.000001 + 0.5                  # 2 ops
+            y = jnp.where(y > 1.0, y - 0.75, y)     # compare+select+sub
+        return y.sum()
 
-        (x, s), _ = jax.lax.scan(body, (x, s), None, length=inner)
-        return x.sum()
-
-    OPS_PER_ITER = 5 * size
-    r = chain(x, jnp.float32(0.0))
-    _ = float(r)
+    OPS = 5 * inner * size
+    _ = float(chain(x, jnp.float32(0.0)))
     best = 0.0
     for i in range(reps):
         t0 = time.perf_counter()
-        r = chain(x, jnp.float32(i * 1e-3))  # distinct operands (axon memo)
-        _ = float(r)
+        _ = float(chain(x, jnp.float32(1e-4 + i * 1e-3)))
         dt = time.perf_counter() - t0
-        best = max(best, OPS_PER_ITER * inner / dt)
+        best = max(best, OPS / dt)
     return best
 
 
