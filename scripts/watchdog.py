@@ -80,6 +80,23 @@ def main() -> int:
         if logf is not sys.stderr:
             logf.write(line + "\n")
 
+    # SIGTERM/SIGINT (e.g. an outer `timeout`) must take the child's whole
+    # process group down with the watchdog — the round-4 dryrun leak
+    # (VERDICT weak #4) was exactly a parent dying while its re-exec'd
+    # child ran on for hours; same hazard here without this.
+    child = None
+
+    def _on_signal(signum, frame):
+        if child is not None:
+            try:
+                os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     rc = 98
     for attempt in range(args.max_restarts + 1):
         note(f"launch attempt {attempt + 1}/{args.max_restarts + 1}: "

@@ -52,6 +52,23 @@ class AgentState(struct.PyTreeNode):
     #                             (cfg.td_gate_cooldown); None when disabled.
     #                             Kept None unless configured so older
     #                             resume checkpoints keep their tree shape.
+    burst_log: Any = None       # forensic snapshot of the FIRST gate-flagged
+    #                             minibatch since the driver last drained it:
+    #                             replay provenance (env/slot/step indices,
+    #                             slot write ordinals) + per-sample TD errors
+    #                             (docs/PERF.md open collapse trigger). Dict of
+    #                             fixed-shape arrays; None when the gate is off.
+
+
+def _init_burst_log(batch_size: int):
+    """Empty burst-forensics snapshot (see AgentState.burst_log)."""
+    zi = lambda *s: jnp.zeros(s, jnp.int32)
+    zf = lambda *s: jnp.zeros(s, jnp.float32)
+    B = batch_size
+    return {"valid": jnp.int32(0), "step": jnp.int32(0),
+            "ep_counter": jnp.int32(0),
+            "env_i": zi(B), "ep_i": zi(B), "s": zi(B), "slot_ep": zi(B),
+            "reward": zf(B), "td1": zf(B), "td2": zf(B)}
 
 
 class SAC:
@@ -181,6 +198,8 @@ class SAC:
             gate_cooldown=(jnp.int32(0)
                            if self.cfg.td_anomaly_gate > 0
                            and self.cfg.td_gate_cooldown > 0 else None),
+            burst_log=(_init_burst_log(self.cfg.batch_size)
+                       if self.cfg.td_anomaly_gate > 0 else None),
         )
         return self.init_aux(state, rng)
 
@@ -264,7 +283,8 @@ class SAC:
         q1, q2 = self.critic_def.apply({"params": params["critic"]}, feats,
                                        batch.action)
         loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
-        out = {"critic_loss": loss, **self._critic_diag(q1, q2, batch)}
+        out = {"critic_loss": loss,
+               **self._critic_diag(q1, q2, batch, target_q)}
         if self._packed:
             # hand the (detached) obs features to the actor update — its
             # cond branch would otherwise re-run the trunk, and CSE cannot
@@ -272,16 +292,25 @@ class SAC:
             out["_obs_feats"] = jax.lax.stop_gradient(feats)
         return loss, out
 
-    def _critic_diag(self, q1, q2, batch: Batch) -> Dict:
+    def _critic_diag(self, q1, q2, batch: Batch, target_q=None) -> Dict:
         """Collapse-study diagnostics (docs/PERF.md open trigger): Q level,
         twin disagreement, and the batch reward level — logged every update
         so a late-training Q-divergence event has a measured signature
-        instead of a post-hoc guess. Costs a few reductions."""
-        return {
+        instead of a post-hoc guess. Costs a few reductions. With target_q,
+        also emits PER-SAMPLE TD errors ("_td1"/"_td2", stop-gradient
+        by-products) for the burst-forensics snapshot; _update pops them
+        before metrics leave the program."""
+        out = {
             "q1_mean": jnp.mean(jax.lax.stop_gradient(q1)),
             "q_twin_gap": jnp.mean(jnp.abs(jax.lax.stop_gradient(q1 - q2))),
             "batch_reward": jnp.mean(batch.reward),
         }
+        if target_q is not None:
+            out["_td1"] = jax.lax.stop_gradient(
+                (q1 - target_q).reshape(-1).astype(jnp.float32))
+            out["_td2"] = jax.lax.stop_gradient(
+                (q2 - target_q).reshape(-1).astype(jnp.float32))
+        return out
 
     def _target_lag(self, state: AgentState) -> jnp.ndarray:
         """‖critic − target‖ / ‖critic‖ over the Q heads: how far the online
@@ -451,6 +480,36 @@ class SAC:
         # detached obs features from the critic pass (see critic_loss_fn) —
         # reused by the actor so its cond branch skips a trunk traversal
         obs_feats = c_metrics.pop("_obs_feats", None)
+        # per-sample TD errors (critic_loss_fn by-products) feed the burst-
+        # forensics snapshot; never let the (B,)-arrays leave as metrics
+        td1 = c_metrics.pop("_td1", None)
+        td2 = c_metrics.pop("_td2", None)
+        B_log = (state.burst_log["td1"].shape[0]
+                 if state.burst_log is not None else -1)
+        if (state.burst_log is not None and td1 is not None
+                and batch.idx is not None
+                and td1.shape == (B_log,)
+                and batch.idx.shape[0] == B_log
+                and batch.reward.shape[0] == B_log):
+            # Record the FIRST gate-flagged minibatch since the driver last
+            # drained the snapshot (docs/PERF.md open collapse trigger): its
+            # replay provenance — (env, slot, step) indices and each slot's
+            # completion ordinal (age = ep_counter − slot_ep) — plus the
+            # per-sample TD errors and rewards. jnp.where keeps the whole
+            # thing inside the fused update; the driver dumps + resets it at
+            # the chunk boundary (train/loop.py burst_log.jsonl).
+            bl = state.burst_log
+            fired = c_metrics.get("td_gate_fired", jnp.float32(0)) > 0
+            fresh = fired & (bl["valid"] == 0)
+            env_i = batch.idx[:, 0]
+            ep_i = batch.idx[:, 1]
+            rec = {"valid": jnp.int32(1), "step": state.step,
+                   "ep_counter": rstate.ep_counter,
+                   "env_i": env_i, "ep_i": ep_i, "s": batch.idx[:, 2],
+                   "slot_ep": rstate.slot_ep[env_i, ep_i],
+                   "reward": batch.reward.reshape(-1), "td1": td1, "td2": td2}
+            state = state.replace(burst_log=jax.tree_util.tree_map(
+                lambda new, old: jnp.where(fresh, new, old), rec, bl))
 
         def do_actor(s):
             s2, m = self.update_actor_and_alpha(s, batch, k_a, obs_feats)

@@ -194,7 +194,7 @@ class SGSAC(SAC):
             loss = (jnp.mean((q1 - target_q) ** 2)
                     + jnp.mean((q2 - target_q) ** 2))
             return loss, {"critic_loss": loss,
-                          **self._critic_diag(q1, q2, batch)}
+                          **self._critic_diag(q1, q2, batch, target_q)}
         mask = ctx["mask"]
         masked_obs = jnp.where(mask, obs, self._fill(rng, obs, state.step))
         if self._packed:
@@ -217,7 +217,7 @@ class SGSAC(SAC):
                                  + jnp.mean((q2 - mq2) ** 2))
             return loss, {"critic_loss": loss,
                           "_obs_feats": jax.lax.stop_gradient(f_obs),
-                          **self._critic_diag(q1, q2, batch)}
+                          **self._critic_diag(q1, q2, batch, target_q)}
         if self._concat_consistency:
             # one trunk traversal at 2B instead of two at B — numerically
             # identical (convs are batch-parallel) and fewer dispatches, BUT
@@ -238,7 +238,7 @@ class SGSAC(SAC):
         loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
         loss = loss + 0.5 * (jnp.mean((q1 - mq1) ** 2)
                              + jnp.mean((q2 - mq2) ** 2))
-        return loss, {"critic_loss": loss, **self._critic_diag(q1, q2, batch)}
+        return loss, {"critic_loss": loss, **self._critic_diag(q1, q2, batch, target_q)}
 
     # ------------------------------------------------------------------- aux
     def update_aux(self, state: AgentState, batch: Batch, buffer: ReplayBuffer,

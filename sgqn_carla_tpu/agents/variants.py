@@ -73,7 +73,7 @@ class SVEA(SAC):
                                + jnp.mean((q2a - target_q) ** 2))
             return loss, {"critic_loss": loss,
                           "_obs_feats": jax.lax.stop_gradient(f_c),
-                          **self._critic_diag(q1, q2, batch)}
+                          **self._critic_diag(q1, q2, batch, target_q)}
         if a == b:
             obs_cat = jnp.concatenate([obs, obs_aug], axis=0)
             act_cat = jnp.concatenate([batch.action, batch.action], axis=0)
@@ -90,7 +90,8 @@ class SVEA(SAC):
                                + jnp.mean((q2a - target_q) ** 2))
         half = batch.obs.shape[0]
         return loss, {"critic_loss": loss,
-                      **self._critic_diag(q1[:half], q2[:half], batch)}
+                      **self._critic_diag(q1[:half], q2[:half], batch,
+                                          target_q)}
 
 
 class CURL(SAC):

@@ -161,6 +161,14 @@ class Config:
     # NEGATIVE as a default: runs/flag_r2b train 690 vs 896, see
     # data/overlay.py:synth_images)
     overlay_band: str = "narrow"
+    video_pool: str = "dmcgb"    # video_easy/hard clip-pool statistics:
+    # "dmcgb" (default) resamples the hard pool's per-clip dominant colors
+    # out of the saturated-warm band so the procedural stand-in matches
+    # real DAVIS/DMCGB dominant-color statistics (the uniform pool was
+    # harsher than the reference benchmark in exactly that one dimension —
+    # round-4 camouflage study, data/videos.py); "harsh" keeps the original
+    # uniform-RGB pool (~19% warm-camouflage clips) for pre-round-5
+    # reproducibility and as a harder robustness probe
 
     # ---- TPU-native additions (no reference equivalent) ----
     num_envs: int = 1            # vectorized env batch per experiment

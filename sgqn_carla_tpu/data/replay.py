@@ -41,6 +41,12 @@ class ReplayState(struct.PyTreeNode):
     step_ptr: jnp.ndarray  # int32: next step index within the episode
     num_eps: jnp.ndarray   # int32: completed episodes stored (≤ N)
     ep_counter: jnp.ndarray  # int32: total episodes ever started (slot policy)
+    slot_ep: jnp.ndarray = None  # (E, N) int32: ep_counter value at which each
+    #                              slot's episode completed (slot age =
+    #                              ep_counter − slot_ep; burst forensics,
+    #                              docs/PERF.md collapse-trigger hunt). Leading
+    #                              dim E keeps the leaf under the same data-
+    #                              axis sharding predicate as the other rings.
 
 
 class Batch(struct.PyTreeNode):
@@ -50,6 +56,8 @@ class Batch(struct.PyTreeNode):
     next_obs: jnp.ndarray  # (B, K*3, H, W) uint8
     not_done: jnp.ndarray  # (B, 1)
     pos: jnp.ndarray = None  # CURL positive crops (reference: sample_curl)
+    idx: jnp.ndarray = None  # (B, 3) int32 (env_i, ep_i, s) sample provenance
+    #                          (burst forensics; None for custom samplers)
 
 
 class ReplayBuffer:
@@ -91,6 +99,7 @@ class ReplayBuffer:
             step_ptr=jnp.int32(0),
             num_eps=jnp.int32(0),
             ep_counter=jnp.int32(0),
+            slot_ep=jnp.zeros((E, N), jnp.int32),
         )
 
     # -- writing -------------------------------------------------------------
@@ -134,8 +143,15 @@ class ReplayBuffer:
                                   (e + 1) % self.num_episodes)
         else:
             next_slot = (e + 1) % self.num_episodes
+        # stamp the completing slot with its episode ordinal (ep_counter+1 =
+        # 1-based completion ordinal; age in episodes = ep_counter − slot_ep)
+        stamped = jax.lax.dynamic_update_slice(
+            state.slot_ep,
+            jnp.full((self.num_envs, 1), state.ep_counter + 1, jnp.int32),
+            (0, e))
         return state.replace(
             frames=frames, actions=actions, rewards=rewards,
+            slot_ep=jnp.where(done_ep, stamped, state.slot_ep),
             step_ptr=jnp.where(done_ep, 0, s + 1),
             ep_ptr=jnp.where(done_ep, next_slot, e),
             num_eps=jnp.where(
@@ -194,7 +210,8 @@ class ReplayBuffer:
         reward = state.rewards[env_i, ep_i, s][:, None]
         not_done = jnp.ones((b, 1), jnp.float32)
         return Batch(obs=obs, action=action, reward=reward,
-                     next_obs=next_obs, not_done=not_done)
+                     next_obs=next_obs, not_done=not_done,
+                     idx=jnp.stack([env_i, ep_i, s], axis=1))
 
     def sample_obs_only(self, state: ReplayState, rng, batch_size: int):
         """SODA's obs-only sampler (reference: utils.py sample_soda)."""

@@ -84,7 +84,11 @@ class HostSpill:
             return rstate.replace(
                 frames=rstate.frames.at[:, slots].set(fr),
                 actions=rstate.actions.at[:, slots].set(ac),
-                rewards=rstate.rewards.at[:, slots].set(rw))
+                rewards=rstate.rewards.at[:, slots].set(rw),
+                # refreshed slots carry host-window episodes of unknown
+                # original age: stamp them "device-resident since now" so
+                # burst forensics never reports a bogus ancient age
+                slot_ep=rstate.slot_ep.at[:, slots].set(rstate.ep_counter))
         return f
 
     # ---- chunk-boundary exchange -------------------------------------------

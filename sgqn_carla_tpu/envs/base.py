@@ -68,7 +68,7 @@ class DMCPixelEnv:
                  image_size: int = 84, action_repeat: int = 4,
                  frame_stack: int = 3, episode_length: int = 1000,
                  intensity: float = 0.0, seed: int = 0,
-                 external_data_dir: str = ""):
+                 external_data_dir: str = "", video_pool: str = "dmcgb"):
         assert mode in MODES, f'specified mode "{mode}" is not supported'
         self.task = load_task(domain_name, task_name)
         self.mode = mode
@@ -86,7 +86,7 @@ class DMCPixelEnv:
         )
         if mode.startswith("video"):
             vids = get_videos(mode, image_size, image_size, seed,
-                              external_data_dir)
+                              external_data_dir, band=video_pool)
             self.videos = jnp.asarray(vids)  # (V, F, H, W, 3) uint8
             self.num_videos = vids.shape[0]
             self.video_len = vids.shape[1]
@@ -94,7 +94,7 @@ class DMCPixelEnv:
             from sgqn_carla_tpu.envs import distracting as dcs
 
             vids = get_videos("video_hard", image_size, image_size, seed + 5,
-                              external_data_dir)
+                              external_data_dir, band=video_pool)
             self.videos = jnp.asarray(vids)
             self.num_videos = dcs.num_videos_for(intensity, vids.shape[0])
             self.video_len = vids.shape[1]
@@ -255,12 +255,13 @@ class DMCPixelEnv:
 
 def make_env(domain_name, task_name, seed=0, episode_length=1000,
              frame_stack=3, action_repeat=4, image_size=100, mode="train",
-             intensity=0.0, external_data_dir="") -> DMCPixelEnv:
+             intensity=0.0, external_data_dir="",
+             video_pool="dmcgb") -> DMCPixelEnv:
     """Factory mirroring the reference `make_env` signature
     (reference: src/env/wrappers.py:19-73)."""
     return DMCPixelEnv(
         domain_name, task_name, mode=mode, image_size=image_size,
         action_repeat=action_repeat, frame_stack=frame_stack,
         episode_length=episode_length, intensity=intensity, seed=seed,
-        external_data_dir=external_data_dir,
+        external_data_dir=external_data_dir, video_pool=video_pool,
     )

@@ -34,7 +34,7 @@ def main(argv=None):
         action_repeat=cfg.action_repeat, frame_stack=cfg.frame_stack,
         image_size=cfg.image_size, mode=cfg.eval_mode or "train",
         intensity=cfg.distracting_cs_intensity,
-        external_data_dir=resolve_data_dir(cfg))
+        external_data_dir=resolve_data_dir(cfg), video_pool=cfg.video_pool)
 
     agent = make_agent((3 * cfg.frame_stack, cfg.image_crop_size,
                         cfg.image_crop_size), (env.action_size,), cfg)

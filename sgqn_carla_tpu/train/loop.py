@@ -62,6 +62,50 @@ def write_info(cfg: Config, work_dir: str):
                             "args": cfg.__dict__}, default=str) + "\n")
 
 
+def _reset_burst_log(astate):
+    """Clear the burst snapshot's valid flag (after a drain or a restore —
+    a restored checkpoint can carry a stale already-dumped snapshot whose
+    set flag would block the next burst from being recorded)."""
+    if getattr(astate, "burst_log", None) is None:
+        return astate
+    return astate.replace(
+        burst_log={**astate.burst_log, "valid": jnp.int32(0)})
+
+
+def _append_jsonl(work_dir: str, rec: Dict):
+    with open(os.path.join(work_dir, "burst_log.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def drain_burst_log(work_dir: str, astate, metrics: Dict, step: int,
+                    rollbacks: int, last_rollback):
+    """Persist the agent's burst-forensics snapshot when the TD gate fired
+    inside the chunk (docs/PERF.md open collapse trigger): the first flagged
+    minibatch's replay slots, their write ordinals (ages), per-sample TD
+    errors, plus the driver's rollback context — the data the boundary-slot
+    vs tail-of-distribution hypothesis test needs. One host pull per
+    firing chunk; zero cost otherwise."""
+    if getattr(astate, "burst_log", None) is None or not metrics:
+        return astate
+    if float(np.asarray(metrics.get("td_gate_fired", 0.0))) <= 0:
+        return astate
+    bl = jax.device_get(astate.burst_log)
+    if not int(bl["valid"]):
+        return astate
+    ages = (int(bl["ep_counter"]) - bl["slot_ep"]).tolist()
+    _append_jsonl(work_dir, {
+        "type": "burst", "chunk_step": step,
+        "update_step": int(bl["step"]),
+        "ring_ep_counter": int(bl["ep_counter"]),
+        "rollbacks_so_far": rollbacks, "last_rollback": last_rollback,
+        "env_i": bl["env_i"].tolist(), "ep_i": bl["ep_i"].tolist(),
+        "s": bl["s"].tolist(), "slot_ep": bl["slot_ep"].tolist(),
+        "age_eps": ages, "reward": np.round(bl["reward"], 4).tolist(),
+        "td1": np.round(bl["td1"], 3).tolist(),
+        "td2": np.round(bl["td2"], 3).tolist()})
+    return _reset_burst_log(astate)
+
+
 def evaluate(agent, astate, env, num_episodes: int, rng,
              video: Optional[VideoRecorder] = None,
              video_name: str = "") -> np.ndarray:
@@ -139,7 +183,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         domain_name=cfg.domain_name, task_name=cfg.task_name, seed=cfg.seed,
         episode_length=cfg.episode_length, action_repeat=cfg.action_repeat,
         frame_stack=cfg.frame_stack, image_size=cfg.image_size, mode="train",
-        external_data_dir=data_dir)
+        external_data_dir=data_dir, video_pool=cfg.video_pool)
     test_envs: List = []
     test_modes: List[str] = []
     eval_modes = (["color_hard", "video_easy", "video_hard"]
@@ -160,7 +204,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             action_repeat=cfg.action_repeat, frame_stack=cfg.frame_stack,
             image_size=cfg.image_size, mode=m,
             intensity=cfg.distracting_cs_intensity,
-            external_data_dir=data_dir))
+            external_data_dir=data_dir, video_pool=cfg.video_pool))
         test_modes.append(m)
 
     venv = VectorEnv(env, cfg.num_envs)
@@ -249,6 +293,8 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
     reward_ema = None
     best_ema = 0.0
     rollbacks = 0
+    last_rollback = None  # {"to_step", "at_step", "ring_ep_counter"} context
+    #                       stamped onto burst-forensics records
     _fault = os.environ.get("SGQN_FAULT_INJECT_COLLAPSE")
     fault_at = int(_fault) if _fault else None
 
@@ -292,6 +338,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                     # episode). Rewarm: collect with the restored policy,
                     # no updates, until the ring holds init_steps fresh steps.
                     rewarm_until = step + max(cfg.init_steps, 0)
+                astate = _reset_burst_log(astate)
                 print(f"Resumed from {resume_dir} at step {step}")
 
     # The fused chunk DONATES astate and rstate; the TPU runtime rejects a
@@ -345,6 +392,8 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         for k2, v in metrics.items():
             L.log(_METRIC_KEYS.get(k2, f"train/{k2}"), v, step)
             last_metrics[k2] = float(np.asarray(v))
+        astate = drain_burst_log(work_dir, astate, metrics, step,
+                                 rollbacks, last_rollback)
         L.dump(step)
         start = time.time()
         episode += 1
@@ -408,6 +457,15 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                             # the host window has absorbed collapse-era
                             # episodes too — drop it with the device ring
                             spill.reset()
+                    astate = _reset_burst_log(astate)
+                    last_rollback = {
+                        "to_step": last, "at_step": step,
+                        "ring_ep_counter": int(jax.device_get(
+                            rstate.ep_counter))}
+                    _append_jsonl(work_dir, {"type": "rollback",
+                                             "detected_reward": ep_reward,
+                                             "rollback": rollbacks,
+                                             **last_rollback})
                     print(f"Collapse guard: reward {ep_reward:.1f} < "
                           f"{cfg.guard_collapse:.2f} x best {best_ema:.1f}; "
                           f"rolled back to step {last} "

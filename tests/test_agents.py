@@ -372,6 +372,48 @@ class TestTdAnomalyGate:
         # the EMA ignored the burst (stays tiny, keeping the gate armed)
         assert float(s1.critic_loss_ema) == pytest.approx(1e-8)
 
+    def test_burst_forensics_snapshot(self):
+        """The first gate-flagged minibatch's replay provenance + per-sample
+        TD errors are captured in AgentState.burst_log and held until the
+        driver drains it (docs/PERF.md open collapse trigger)."""
+        from sgqn_carla_tpu.agents.sac import SAC
+
+        agent, state, buf, rstate = _mk("sac")
+        assert int(state.burst_log["valid"]) == 0
+        # normal update: nothing recorded
+        s0, m0 = agent.update(state, rstate, buf)
+        assert float(m0["td_gate_fired"]) == 0.0
+        assert int(s0.burst_log["valid"]) == 0
+        # forced burst: snapshot written
+        step0 = SAC.GATE_WARMUP + 1
+        state = state.replace(step=jnp.int32(step0),
+                              critic_loss_ema=jnp.float32(1e-8))
+        s1, m1 = agent.update(state, rstate, buf)
+        assert float(m1["td_gate_fired"]) == 1.0
+        bl = jax.device_get(s1.burst_log)
+        assert int(bl["valid"]) == 1
+        assert int(bl["step"]) == step0
+        B = agent.cfg.batch_size
+        for k in ("env_i", "ep_i", "s", "slot_ep", "reward", "td1", "td2"):
+            assert bl[k].shape == (B,), k
+        assert np.all(np.isfinite(bl["td1"])) and np.all(np.isfinite(bl["td2"]))
+        # provenance indices in range; slot write ordinals ≤ ep_counter
+        assert (bl["env_i"] >= 0).all() and (bl["env_i"] < buf.num_envs).all()
+        assert (bl["ep_i"] >= 0).all() and (bl["ep_i"] < buf.num_episodes).all()
+        assert (bl["slot_ep"] <= int(bl["ep_counter"])).all()
+        # TD arrays never leak into the metrics stream
+        assert "_td1" not in m1 and "_td2" not in m1
+        # a second burst does NOT overwrite the held snapshot
+        s1 = s1.replace(critic_loss_ema=jnp.float32(1e-8),
+                        step=jnp.int32(step0 + 2))
+        s2, m2 = agent.update(s1, rstate, buf)
+        assert float(m2["td_gate_fired"]) == 1.0
+        assert int(jax.device_get(s2.burst_log)["step"]) == step0
+
+    def test_burst_forensics_off_with_gate(self):
+        agent, state, _, _ = _mk("sac", td_anomaly_gate=0.0)
+        assert state.burst_log is None
+
     def test_cooldown_freezes_follow_on_updates(self):
         """--td_gate_cooldown: the measured cascade (docs/PERF.md collapse
         signature) compounds through follow-on updates that sit BELOW the
