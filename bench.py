@@ -158,7 +158,11 @@ def bench_updates(batch_size: int, inner: int, reps: int,
 
 
 def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
+    # 768 = the round-5 re-sweep's sweet spot on the unpacked-learner
+    # program family (two consistent runs at ~322k env-steps/s vs 310k at
+    # 1024, 292k at 640, 273k at 512, ~300k at 1536/2048 —
+    # artifacts/sweeps/r12/bench_sweep.log)
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "768"))
     # 200 scan iterations per dispatch: the axon-tunnel runtime charges a
     # fixed ~26 ms dispatch overhead to programs launched after a render
     # program has run once (measured; independent of program content), so

@@ -62,8 +62,21 @@ _SHAPE_RE = re.compile(r"(\w[\w-]*)\(")
 _DIMS_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 
 
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+                "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+                "f64": 8}
+
+
 def count_step_ops(num_envs: int):
-    """Optimized-HLO VPU op-units for ONE env step-batch on (num_envs,)."""
+    """Optimized-HLO accounting for ONE env step-batch on (num_envs,):
+
+    * VPU op-units: every elementwise/compare/select element produced,
+      anywhere (fusion bodies included — fused elements still issue);
+    * materialized bytes: result bytes of ENTRY-computation instructions
+      only — post-fusion, those are the buffers XLA actually writes to
+      HBM (fusion temporaries live in registers/VMEM). ~Equal bytes are
+      read back, so traffic ≈ 2× this, which feeds the bandwidth bound.
+    """
     from sgqn_carla_tpu.envs import make_env
     from sgqn_carla_tpu.envs.vector import VectorEnv
 
@@ -81,7 +94,14 @@ def count_step_ops(num_envs: int):
 
     total = 0
     per_op = {}
+    entry_bytes = 0
+    in_entry = False
     for line in hlo.splitlines():
+        if line.startswith("ENTRY"):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            in_entry = False
         line = line.strip()
         if "=" not in line:
             continue
@@ -90,7 +110,7 @@ def count_step_ops(num_envs: int):
         m = _DIMS_RE.match(rhs)
         if not m:
             continue
-        dims = m.group(2)
+        dtype, dims = m.group(1), m.group(2)
         n = 1
         for d in dims.split(","):
             if d:
@@ -99,6 +119,9 @@ def count_step_ops(num_envs: int):
         if not om:
             continue
         op = om.group(1)
+        if in_entry and op not in ("parameter", "constant", "tuple",
+                                   "get-tuple-element", "bitcast"):
+            entry_bytes += n * _DTYPE_BYTES.get(dtype, 4)
         if op in _VPU_OPS:
             total += n
             per_op[op] = per_op.get(op, 0) + n
@@ -107,37 +130,60 @@ def count_step_ops(num_envs: int):
             # the optimized dump — the bodies are already counted.
             continue
     top = dict(sorted(per_op.items(), key=lambda kv: -kv[1])[:8])
-    return total, top
+    return total, top, entry_bytes
 
 
-def calibrate_vpu(inner: int = 64, size: int = 4 << 20, reps: int = 5):
-    """Achievable elementwise op-units/s: an UNROLLED fused chain of
-    mul-add-compare-select rounds (5 ops each) on one array — XLA fuses
-    the whole chain into a single kernel, so traffic is one read + one
-    reduce per element and the kernel is ISSUE-bound (arithmetic
-    intensity 5·inner/4 ops/byte). A lax.scan chain is the wrong
-    calibrator here: the loop-carried array round-trips HBM every
-    iteration and measures bandwidth, not issue (first version of this
-    script measured 0.29 T/s that way vs ~2.5 T/s fused)."""
+def calibrate_vpu(inner: int = 64, size: int = 4 << 20, length: int = 32,
+                  reps: int = 5):
+    """Achievable elementwise op-units/s for the step's instruction mix.
+
+    The kernel is a scan over UNROLLED fused mul-add-compare-select rounds
+    (5 op-units each; 320 ops per element per scan iteration = 40 op/byte
+    arithmetic intensity, far above the issue/bandwidth crossover, so the
+    kernel is ISSUE-bound — a bare scan body of one round measures HBM
+    bandwidth instead: 0.29 T/s vs ~2.5 T/s fused, round-3 note).
+
+    Timed as the DIFFERENCE between a length-L and a length-2L scan: the
+    axon runtime charges a fixed ~26 ms dispatch overhead per program
+    (docs/PERF.md), which at any feasible single-dispatch chain size is
+    comparable to the arithmetic itself — the round-4 single-dispatch
+    version of this calibrator measured 0.05 T/s, i.e. it measured the
+    dispatch, not the VPU (BENCH_r04-era bound_env_step run, 29x below
+    the rollout's own throughput). Two lengths, identical program shape,
+    distinct operands per call (the runtime memoizes repeated identical
+    executions): rate = extra_ops / extra_time, dispatch cancels."""
     x = jnp.linspace(0.0, 1.0, size, dtype=jnp.float32)
 
-    @jax.jit
-    def chain(x, s):
-        y = x + s
+    def rounds(y):
         for _ in range(inner):
             y = y * 1.000001 + 0.5                  # 2 ops
             y = jnp.where(y > 1.0, y - 0.75, y)     # compare+select+sub
-        return y.sum()
+        return y
 
-    OPS = 5 * inner * size
-    _ = float(chain(x, jnp.float32(0.0)))
-    best = 0.0
-    for i in range(reps):
-        t0 = time.perf_counter()
-        _ = float(chain(x, jnp.float32(1e-4 + i * 1e-3)))
-        dt = time.perf_counter() - t0
-        best = max(best, OPS / dt)
-    return best
+    def make(n_iters):
+        @jax.jit
+        def chain(x, s):
+            y, _ = jax.lax.scan(lambda y, _: (rounds(y), None), x + s,
+                                None, length=n_iters)
+            return y.sum()
+        return chain
+
+    f1, f2 = make(length), make(2 * length)
+    _ = float(f1(x, jnp.float32(0.0)))   # compile + warmup
+    _ = float(f2(x, jnp.float32(0.0)))
+
+    def best_time(f):
+        best = float("inf")
+        for i in range(reps):
+            s = jnp.float32(1e-4 + i * 1e-3)  # distinct operands: no memo
+            t0 = time.perf_counter()
+            _ = float(f(x, s))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = best_time(f1), best_time(f2)
+    extra_ops = 5 * inner * size * length
+    return extra_ops / max(t2 - t1, 1e-9)
 
 
 def measured_steps(num_envs: int, inner: int):
@@ -155,18 +201,28 @@ def main():
     # per-geom precompute, which only makes the bound conservative)
     count_envs = int(os.environ.get("BOUND_COUNT_ENVS", "128"))
 
-    ops, top = count_step_ops(count_envs)
+    ops, top, ebytes = count_step_ops(count_envs)
     rate = calibrate_vpu()
     sps = measured_steps(num_envs, inner)
-    bound = rate / (ops / count_envs)  # env-steps/s at the issue ceiling
+    issue_bound = rate / (ops / count_envs)  # env-steps/s, VPU issue ceiling
+    # HBM bandwidth ceiling: materialized buffers are written once and
+    # (approximately) read once → 2× entry bytes of traffic per step-batch.
+    # v5e HBM2 ≈ 819 GB/s (public spec); override for other chips.
+    hbm_bw = float(os.environ.get("BOUND_HBM_GBPS", "819")) * 1e9
+    bw_bound = hbm_bw / (2 * ebytes / count_envs)
+    bound = min(issue_bound, bw_bound)
     out = {
         "num_envs": num_envs,
         "count_envs": count_envs,
         "hlo_vpu_op_units_per_count_batch": ops,
         "op_units_per_env_step": round(ops / count_envs, 1),
         "top_ops": top,
+        "materialized_bytes_per_env_step": round(ebytes / count_envs, 1),
         "calibrated_vpu_op_units_per_s": round(rate, 0),
+        "issue_bound_env_steps_per_s": round(issue_bound, 0),
+        "bandwidth_bound_env_steps_per_s": round(bw_bound, 0),
         "bound_env_steps_per_s": round(bound, 0),
+        "binding_side": ("bandwidth" if bw_bound < issue_bound else "issue"),
         "measured_env_steps_per_s": round(sps, 0),
         "measured_over_bound": round(sps / bound, 3),
     }
