@@ -73,9 +73,12 @@ def count_step_ops(num_envs: int):
     * VPU op-units: every elementwise/compare/select element produced,
       anywhere (fusion bodies included — fused elements still issue);
     * materialized bytes: result bytes of ENTRY-computation instructions
-      only — post-fusion, those are the buffers XLA actually writes to
-      HBM (fusion temporaries live in registers/VMEM). ~Equal bytes are
-      read back, so traffic ≈ 2× this, which feeds the bandwidth bound.
+      only. CAUTION: this is a property of the CPU-optimized program —
+      XLA:CPU fuses far less aggressively than XLA:TPU (measured 0.92 MB
+      per env-step here vs ~23 kB/env-step from the TPU program's own
+      cost_analysis), so it must NOT feed a TPU bandwidth bound; the TPU
+      bound uses tpu_step_cost() below. Kept for the CPU-vs-TPU fusion
+      diagnostic only.
     """
     from sgqn_carla_tpu.envs import make_env
     from sgqn_carla_tpu.envs.vector import VectorEnv
@@ -192,6 +195,25 @@ def measured_steps(num_envs: int, inner: int):
     return bench.bench_env_steps(num_envs, inner, reps=3, mesh_axis=1)
 
 
+def tpu_step_cost(num_envs: int):
+    """XLA's own cost model for the TPU-compiled step: bytes accessed +
+    flops + transcendentals per step-batch (the post-fusion TPU program —
+    the only traffic number a TPU bandwidth bound may use)."""
+    from sgqn_carla_tpu.envs import make_env
+    from sgqn_carla_tpu.envs.vector import VectorEnv
+
+    env = make_env("walker", "walk", image_size=84, episode_length=1000,
+                   action_repeat=4, mode="train")
+    venv = VectorEnv(env, num_envs)
+    states, _ = venv.reset(jax.random.PRNGKey(0))
+    actions = jnp.zeros((num_envs, env.action_size), jnp.float32)
+    ca = jax.jit(venv.step).lower(states, actions).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return {k: float(ca.get(k, 0.0))
+            for k in ("bytes accessed", "flops", "transcendentals")}
+
+
 def main():
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     inner = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -204,12 +226,12 @@ def main():
     ops, top, ebytes = count_step_ops(count_envs)
     rate = calibrate_vpu()
     sps = measured_steps(num_envs, inner)
+    cost = tpu_step_cost(num_envs)
     issue_bound = rate / (ops / count_envs)  # env-steps/s, VPU issue ceiling
-    # HBM bandwidth ceiling: materialized buffers are written once and
-    # (approximately) read once → 2× entry bytes of traffic per step-batch.
+    # HBM bandwidth ceiling from the TPU program's own cost model.
     # v5e HBM2 ≈ 819 GB/s (public spec); override for other chips.
     hbm_bw = float(os.environ.get("BOUND_HBM_GBPS", "819")) * 1e9
-    bw_bound = hbm_bw / (2 * ebytes / count_envs)
+    bw_bound = hbm_bw / max(cost["bytes accessed"] / num_envs, 1e-9)
     bound = min(issue_bound, bw_bound)
     out = {
         "num_envs": num_envs,
@@ -217,7 +239,10 @@ def main():
         "hlo_vpu_op_units_per_count_batch": ops,
         "op_units_per_env_step": round(ops / count_envs, 1),
         "top_ops": top,
-        "materialized_bytes_per_env_step": round(ebytes / count_envs, 1),
+        "cpu_hlo_materialized_bytes_per_env_step": round(
+            ebytes / count_envs, 1),
+        "tpu_cost_analysis_per_env_step": {
+            k: round(v / num_envs, 1) for k, v in cost.items()},
         "calibrated_vpu_op_units_per_s": round(rate, 0),
         "issue_bound_env_steps_per_s": round(issue_bound, 0),
         "bandwidth_bound_env_steps_per_s": round(bw_bound, 0),
