@@ -52,6 +52,14 @@ class AgentState(struct.PyTreeNode):
     #                             (cfg.td_gate_cooldown); None when disabled.
     #                             Kept None unless configured so older
     #                             resume checkpoints keep their tree shape.
+    gate_latch: Any = None      # int32 consecutive-frozen-update counter for
+    #                             the latch breaker (cfg.td_gate_latch): the
+    #                             gate's EMA deliberately ignores burst
+    #                             losses, so a sustained loss-regime shift
+    #                             freezes the agent FOREVER (measured live:
+    #                             runs/flag_r5 seed 2, td_gate_fired=1.0 for
+    #                             >5k consecutive updates, policy dead at
+    #                             ~50 reward). None when disabled.
     burst_log: Any = None       # forensic snapshot of the FIRST gate-flagged
     #                             minibatch since the driver last drained it:
     #                             replay provenance (env/slot/step indices,
@@ -198,6 +206,9 @@ class SAC:
             gate_cooldown=(jnp.int32(0)
                            if self.cfg.td_anomaly_gate > 0
                            and self.cfg.td_gate_cooldown > 0 else None),
+            gate_latch=(jnp.int32(0)
+                        if self.cfg.td_anomaly_gate > 0
+                        and self.cfg.td_gate_latch > 0 else None),
             burst_log=(_init_burst_log(self.cfg.batch_size)
                        if self.cfg.td_anomaly_gate > 0 else None),
         )
@@ -351,7 +362,12 @@ class SAC:
             # program (no host round-trip, no lax.cond re-trace).
             ema = state.critic_loss_ema
             armed = (state.step >= self.GATE_WARMUP) & (ema > 0)
-            burst = armed & (loss > jnp.float32(self.cfg.td_anomaly_gate) * ema)
+            # a non-finite loss is ALWAYS a burst: NaN fails every ordered
+            # comparison, so without this the gate waves the batch through
+            # and the Adam step corrupts the params instantly (measured:
+            # runs/flag_r5 seed 2 NaN'd at 214.25k and zombied to the end)
+            burst = armed & ((loss > jnp.float32(self.cfg.td_anomaly_gate)
+                              * ema) | ~jnp.isfinite(loss))
             frozen = burst
             if state.gate_cooldown is not None:
                 # post-burst cooldown (cfg.td_gate_cooldown): the measured
@@ -367,6 +383,34 @@ class SAC:
                     burst, jnp.int32(self.cfg.td_gate_cooldown),
                     jnp.maximum(state.gate_cooldown - 1, 0))
                 state = state.replace(gate_cooldown=new_cd)
+            latched = None
+            if state.gate_latch is not None:
+                # Latch breaker (cfg.td_gate_latch): the EMA ignores frozen
+                # losses BY DESIGN (a burst must not raise its own
+                # threshold), which means a genuine loss-regime shift —
+                # loss persistently above gate×EMA — freezes the agent
+                # forever: measured live on runs/flag_r5 seed 2
+                # (td_gate_fired=1.0 for >5k consecutive updates, policy
+                # pinned at ~50 reward, every guard rollback burned). A
+                # freeze sustained for td_gate_latch consecutive updates is
+                # a regime change, not an anomaly: accept the new level
+                # (EMA := observed loss), release the freeze, and zero the
+                # cooldown so the actor resumes too. Benign containments
+                # are far shorter (worst measured: ~95% of one 250-update
+                # chunk, flag_r3 149k), so the default window (750 = three
+                # chunks) never triggers on them.
+                run = jnp.where(frozen, state.gate_latch + 1, jnp.int32(0))
+                # never release onto a non-finite loss: a NaN plateau must
+                # stay frozen (the regime-shift reading only applies to a
+                # real, finite new loss level)
+                latched = (run >= jnp.int32(self.cfg.td_gate_latch)
+                           ) & jnp.isfinite(loss)
+                frozen = frozen & jnp.logical_not(latched)
+                state = state.replace(
+                    gate_latch=jnp.where(latched, jnp.int32(0), run))
+                if state.gate_cooldown is not None:
+                    state = state.replace(gate_cooldown=jnp.where(
+                        latched, jnp.int32(0), state.gate_cooldown))
             keep = jnp.where(frozen, 0.0, 1.0).astype(jnp.float32)
             grads = jax.tree_util.tree_map(lambda g: g * keep, grads)
             updates, opt2 = self.critic_tx.update(grads, state.critic_opt,
@@ -377,13 +421,22 @@ class SAC:
                 state.critic_opt, opt2)
             updates = jax.tree_util.tree_map(lambda u: u * keep, updates)
             # the EMA ignores burst/frozen losses (they would drag the
-            # threshold up and disarm the gate for the very next update)
+            # threshold up and disarm the gate for the very next update);
+            # on a latch break it SNAPS to the observed loss — a 1%/update
+            # crawl would re-fire the gate immediately and re-enter the
+            # latch at a 1-in-td_gate_latch duty cycle
             ema = jnp.where(frozen, ema,
                             jnp.where(state.step == 0, loss,
                                       0.99 * ema + 0.01 * loss))
+            if latched is not None:
+                # snap only to a FINITE loss — a latch break on a NaN
+                # plateau must keep the old (finite) threshold
+                ema = jnp.where(latched & jnp.isfinite(loss), loss, ema)
             state = state.replace(critic_loss_ema=ema)
             metrics = {**metrics, "td_gate_fired": burst.astype(jnp.float32),
                        "td_gate_frozen": frozen.astype(jnp.float32)}
+            if latched is not None:
+                metrics["td_gate_latched"] = latched.astype(jnp.float32)
         else:
             updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
                                                      c_params)

@@ -279,5 +279,13 @@ class SGSAC(SAC):
         def skip(state):
             return state, {"aux_loss": jnp.float32(0)}
 
-        return jax.lax.cond(state.step % self.cfg.aux_update_freq == 0,
-                            do, skip, state)
+        do_aux = state.step % self.cfg.aux_update_freq == 0
+        if state.gate_cooldown is not None:
+            # the post-burst freeze must cover the aux optimizer too: it
+            # trains the TRUNK (the predictor's parameter list includes the
+            # encoder), so an unfrozen aux step on a poisoned/NaN batch
+            # corrupts the whole agent while critic+actor sit frozen
+            # (measured: runs/flag_r5 seed 2 — params went NaN through
+            # exactly this path at 214.25k while fully "frozen")
+            do_aux = do_aux & (state.gate_cooldown == 0)
+        return jax.lax.cond(do_aux, do, skip, state)

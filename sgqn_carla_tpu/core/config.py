@@ -217,6 +217,14 @@ class Config:
                                  # reward optimum — critic-LayerNorm is the
                                  # literature's fix for exactly that class.
                                  # Off by default (reference parity).
+    td_gate_latch: int = 750     # >0 → latch breaker: if the gate keeps the
+    # agent frozen for this many CONSECUTIVE updates, treat the "burst" as
+    # a loss-regime shift — snap the EMA to the observed loss, release the
+    # freeze, zero the cooldown. The EMA ignores frozen losses by design,
+    # so without this a sustained shift freezes the agent forever
+    # (measured: runs/flag_r5 seed 2, fired=1.0 for >5k updates, policy
+    # dead at ~50 reward). 750 = three 250-update chunks, safely above the
+    # longest measured benign containment (~95% of one chunk). 0 disables.
     td_gate_cooldown: int = 0    # >0 → after a TD burst, freeze critic AND
     #                              actor/alpha for this many further updates
     #                              (containment for the measured sub-threshold

@@ -407,6 +407,13 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
         # ---- collapse guard: detect the cliff, roll back, jitter, continue
         if fault_at is not None and step >= fault_at:
             ep_reward, fault_at = 0.0, None  # injected fault (tests)
+        if not np.isfinite(ep_reward):
+            # a NaN episode IS a collapse: NaN fails every ordered
+            # comparison, so without this the guard never fires and the
+            # reward EMA is poisoned forever (runs/flag_r5 seed 2 zombied
+            # from 214.25k to the end exactly this way). The raw value was
+            # already logged above; the guard sees a zero.
+            ep_reward = 0.0
         reward_ema = (ep_reward if reward_ema is None
                       else 0.9 * reward_ema + 0.1 * ep_reward)
         best_ema = max(best_ema, reward_ema)
@@ -419,6 +426,8 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
             # the whole budget re-collapsing instantly. Skip saves whose
             # recorded reward level was already below 0.5 × best.
             last = ckpt.healthy_step(resume_dir, best_ema)
+            detect_step = step  # the pre-rollback step (the restore below
+            #                     rewinds `step`; forensics want both)
             if last is not None and last < step:
                 full_like = {"astate": astate, "rng": rng, "episode": 0,
                              "caught_up": False, "next_eval": 0,
@@ -459,7 +468,7 @@ def run_training(cfg: Config, env_factory=make_env) -> Dict:
                             spill.reset()
                     astate = _reset_burst_log(astate)
                     last_rollback = {
-                        "to_step": last, "at_step": step,
+                        "to_step": last, "at_step": detect_step,
                         "ring_ep_counter": int(jax.device_get(
                             rstate.ep_counter))}
                     _append_jsonl(work_dir, {"type": "rollback",

@@ -410,6 +410,36 @@ class TestTdAnomalyGate:
         assert float(m2["td_gate_fired"]) == 1.0
         assert int(jax.device_get(s2.burst_log)["step"]) == step0
 
+    def test_latch_breaker_releases_sustained_freeze(self):
+        """cfg.td_gate_latch: a freeze sustained past the latch window is a
+        loss-regime shift, not an anomaly — the EMA snaps to the observed
+        loss, the freeze releases, the cooldown zeroes (measured live:
+        runs/flag_r5 seed 2 froze at fired=1.0 for >5k updates without
+        this)."""
+        from sgqn_carla_tpu.agents.sac import SAC
+
+        agent, state, buf, rstate = _mk("sac", td_gate_cooldown=3,
+                                        td_gate_latch=2)
+        state = state.replace(step=jnp.int32(SAC.GATE_WARMUP + 1),
+                              critic_loss_ema=jnp.float32(1e-8))
+        s1, m1 = agent.update(state, rstate, buf)  # burst 1: frozen
+        assert float(m1["td_gate_frozen"]) == 1.0
+        assert float(m1["td_gate_latched"]) == 0.0
+        assert int(s1.gate_latch) == 1
+        s2, m2 = agent.update(s1, rstate, buf)     # burst 2: latch fires
+        assert float(m2["td_gate_latched"]) == 1.0
+        assert float(m2["td_gate_frozen"]) == 0.0
+        assert int(s2.gate_latch) == 0
+        assert int(s2.gate_cooldown) == 0
+        # EMA snapped to the observed loss (regime accepted), params moved
+        assert float(s2.critic_loss_ema) == pytest.approx(
+            float(m2["critic_loss"]), rel=1e-5)
+        changed = any(
+            (np.asarray(a) != np.asarray(b)).any()
+            for a, b in zip(jax.tree_util.tree_leaves(s1.params["critic"]),
+                            jax.tree_util.tree_leaves(s2.params["critic"])))
+        assert changed
+
     def test_burst_forensics_off_with_gate(self):
         agent, state, _, _ = _mk("sac", td_anomaly_gate=0.0)
         assert state.burst_log is None
